@@ -1,0 +1,85 @@
+"""Schur-complement reduction of the camera system.
+
+TPU-native equivalents of kern_compute_Vinv / _Yblks / _S / _ea / _eb /
+_dpb (CL_files/compute_Vinv.cl, compute_Yblks.cl, compute_S.cl,
+compute_ea.cl, compute_eb.cl, compute_dpb.cl):
+
+  Vinv_i = V_i^{-1}                                (batched 3x3 inverse)
+  Y_o    = W_o Vinv_{i(o)}                         [O,6,3]
+  S_kl   = delta_kl U_k - sum_{i in covis(k,l)} Y_ik W_il^T   [6C, 6C]
+  ea_j   = ga_j - sum_{o: cam(o)=j} Y_o gb_{i(o)}  [C,6]
+  eb_i   = gb_i - sum_{o: pt(o)=i}  W_o^T dpa_{j(o)}  [P,3]
+  dpb_i  = Vinv_i eb_i                             [P,3]
+
+The covisibility sum uses the static pair list from
+psba_tpu.problem.build_covis_pairs instead of the reference's
+O(C^2 P)-memory comm3DIdx table: a batched (6x3)@(3x6) product over pairs +
+one segment-sum over camera-pair buckets. Both map onto MXU-batched matmuls
+and a single reduction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def inv3x3(V):
+    """Batched closed-form symmetric 3x3 inverse via cofactors.
+
+    Mirrors kern_compute_Vinv's cofactor path (compute_Vinv.cl:28-76) but
+    computes the full inverse (the reference stores only the lower triangle).
+    Returns (Vinv, ok) where ok is False when any determinant magnitude
+    falls below 1e-16 (the reference's pivot-fallback threshold)."""
+    a, b, c = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
+    d, e, f = V[..., 1, 1], V[..., 1, 2], V[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    det = a * co00 + b * co01 + c * co02
+    ok = jnp.all(jnp.abs(det) >= 1e-16)
+    inv_det = 1.0 / det
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    row0 = jnp.stack([co00, co01, co02], axis=-1)
+    row1 = jnp.stack([co01, co11, co12], axis=-1)
+    row2 = jnp.stack([co02, co12, co22], axis=-1)
+    Vinv = jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+    return Vinv, ok
+
+
+def y_blocks(W, Vinv, pt_idx):
+    """Y_o = W_o Vinv_{i(o)}  [O,6,3] (kern_compute_Yblks)."""
+    return jnp.einsum("oij,ojk->oik", W, Vinv[pt_idx])
+
+
+def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams):
+    """Assemble the dense reduced camera matrix S [6C, 6C]
+    (kern_compute_S, CL_files/compute_S.cl:40-56).
+
+    U must already carry the damping diagonal (the reference calls
+    kern_update_UV before kern_compute_S, levmar.cpp:126-130)."""
+    C = n_cams
+    contrib = jnp.einsum("nij,nkj->nik", Y[pair_o1], W[pair_o2])  # [N,6,6]
+    off = jax.ops.segment_sum(contrib, pair_bucket, num_segments=C * C)
+    S = -off.reshape(C, C, 6, 6)
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(U)
+    # [C,C,6,6] -> [6C,6C] block layout
+    return S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
+
+
+def reduced_rhs(ga, gb, Y, cam_idx, pt_idx, n_cams):
+    """ea_j = ga_j - sum_{o: cam(o)=j} Y_o gb_{i(o)}  [C,6]
+    (kern_compute_ea)."""
+    contrib = jnp.einsum("oij,oj->oi", Y, gb[pt_idx])  # [O,6]
+    return ga - jax.ops.segment_sum(contrib, cam_idx, num_segments=n_cams)
+
+
+def back_substitute(gb, W, Vinv, dpa, cam_idx, pt_idx, n_pts):
+    """eb_i = gb_i - sum_{o: pt(o)=i} W_o^T dpa_{j(o)};  dpb_i = Vinv_i eb_i
+    (kern_compute_eb + kern_compute_dpb). Returns (eb [P,3], dpb [P,3])."""
+    wt_dpa = jnp.einsum("oij,oi->oj", W, dpa[cam_idx])  # [O,3]
+    eb = gb - jax.ops.segment_sum(wt_dpa, pt_idx, num_segments=n_pts)
+    dpb = jnp.einsum("pij,pj->pi", Vinv, eb)
+    return eb, dpb
