@@ -54,26 +54,36 @@ def y_blocks(W, Vinv, pt_idx):
     return jnp.einsum("oij,ojk->oik", W, Vinv[pt_idx])
 
 
-def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams):
+def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None):
     """Assemble the dense reduced camera matrix S [6C, 6C]
     (kern_compute_S, CL_files/compute_S.cl:40-56).
 
     U must already carry the damping diagonal (the reference calls
-    kern_update_UV before kern_compute_S, levmar.cpp:126-130)."""
+    kern_update_UV before kern_compute_S, levmar.cpp:126-130) and must be
+    mesh-global; `psum` (MeshCtx.psum) reduces the shard-local off-diagonal
+    sums. Padded pair entries carry bucket C*C, which lands in a discarded
+    overflow segment."""
     C = n_cams
     contrib = jnp.einsum("nij,nkj->nik", Y[pair_o1], W[pair_o2])  # [N,6,6]
-    off = jax.ops.segment_sum(contrib, pair_bucket, num_segments=C * C)
+    off = jax.ops.segment_sum(contrib, pair_bucket, num_segments=C * C + 1)
+    off = off[: C * C]
+    if psum is not None:
+        off = psum(off)
     S = -off.reshape(C, C, 6, 6)
     S = S.at[jnp.arange(C), jnp.arange(C)].add(U)
     # [C,C,6,6] -> [6C,6C] block layout
     return S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
 
 
-def reduced_rhs(ga, gb, Y, cam_idx, pt_idx, n_cams):
+def reduced_rhs(ga, gb, Y, cam_idx, pt_idx, n_cams, psum=None):
     """ea_j = ga_j - sum_{o: cam(o)=j} Y_o gb_{i(o)}  [C,6]
-    (kern_compute_ea)."""
+    (kern_compute_ea). `ga` must be mesh-global; the observation sum is
+    shard-local until `psum`."""
     contrib = jnp.einsum("oij,oj->oi", Y, gb[pt_idx])  # [O,6]
-    return ga - jax.ops.segment_sum(contrib, cam_idx, num_segments=n_cams)
+    term = jax.ops.segment_sum(contrib, cam_idx, num_segments=n_cams)
+    if psum is not None:
+        term = psum(term)
+    return ga - term
 
 
 def back_substitute(gb, W, Vinv, dpa, cam_idx, pt_idx, n_pts):

@@ -1,0 +1,101 @@
+"""Hybrid LM <-> TR controller.
+
+The reference driver alternates levmar() and trust_region() until either
+returns a flag other than the switch requests (PSBA/main.cpp:193-208). The
+TPU version keeps the alternation on the host — it transfers exactly one
+scalar (the flag) per phase — while each phase runs fully on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psba_tpu import constants as CC
+from psba_tpu.problem import BAProblem
+from psba_tpu.solvers.lm import lm_run
+from psba_tpu.solvers.tr import tr_run
+from psba_tpu.solvers.types import OptState, ProblemArrays, SolverConfig
+
+
+@dataclasses.dataclass
+class SolveResult:
+    cams: np.ndarray
+    pts: np.ndarray
+    initial_l2: float
+    final_l2: float
+    initial_error: float   # sqrt(L2)/n2Dprojs — the reference's metric
+    final_error: float
+    iterations: int
+    flag: int
+    flag_name: str
+    wall_s: float
+    phases: list  # [(phase, itno_after, flag_after)]
+
+    def __str__(self):
+        return (
+            f"SolveResult(err {self.initial_error:.6e} -> "
+            f"{self.final_error:.6e}, iters={self.iterations}, "
+            f"flag={self.flag_name}, {self.wall_s:.3f}s)"
+        )
+
+
+def solve(
+    problem: BAProblem,
+    config: SolverConfig | None = None,
+    dtype=None,
+    start: str = "lm",
+) -> SolveResult:
+    """Full hybrid optimization of a BAProblem.
+
+    `dtype` optionally casts the problem (e.g. jnp.float32 for the fast
+    TPU path); default keeps the problem's own precision.
+    """
+    cfg = config or SolverConfig()
+    pa = ProblemArrays.from_problem(problem, dtype=dtype)
+    cams = jnp.asarray(problem.cams, dtype=pa.K.dtype)
+    pts = jnp.asarray(problem.pts, dtype=pa.K.dtype)
+
+    lm = jax.jit(lm_run, static_argnames=("cfg",))
+    tr = jax.jit(tr_run, static_argnames=("cfg",))
+
+    state = OptState.init(pa, cams, pts, clamp=cfg.clamp_quat)
+    initial_l2 = float(state.ex_l2)
+    n_obs = problem.n_obs
+
+    t0 = time.perf_counter()
+    phase = start
+    phases = []
+    while True:
+        runner = lm if phase == "lm" else tr
+        state = runner(pa, state, cfg)
+        flag = int(state.flag)
+        phases.append((phase, int(state.itno), flag))
+        if phase == "lm" and flag == CC.ITER_TURN_TO_TR:
+            phase = "tr"
+            continue
+        if phase == "tr" and flag == CC.ITER_TURN_TO_LM:
+            phase = "lm"
+            continue
+        break
+    state.ex_l2.block_until_ready()
+    wall = time.perf_counter() - t0
+
+    final_l2 = float(state.ex_l2)
+    return SolveResult(
+        cams=np.asarray(state.cams),
+        pts=np.asarray(state.pts),
+        initial_l2=initial_l2,
+        final_l2=final_l2,
+        initial_error=float(np.sqrt(initial_l2) / n_obs),
+        final_error=float(np.sqrt(final_l2) / n_obs),
+        iterations=int(state.itno),
+        flag=flag,
+        flag_name=CC.FLAG_NAMES.get(flag, str(flag)),
+        wall_s=wall,
+        phases=phases,
+    )

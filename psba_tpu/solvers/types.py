@@ -1,0 +1,97 @@
+"""Solver configuration and device-resident problem/state containers."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from psba_tpu import constants as C
+
+
+class SolverConfig(NamedTuple):
+    """Runtime equivalent of the reference's compile-time constants
+    (PSBA/psba.h) plus new framework knobs."""
+
+    tau: float = C.PSBA_INIT_MU            # initial damping scale
+    stop_thresh: float = C.PSBA_STOP_THRESH
+    eps2: float = C.PSBA_EPSILON2
+    max_iters: int = C.MAX_TOTAL_ITERS     # shared LM+TR budget
+    max_delta: float = C.TR_MAX_DELTA
+    init_delta: float = C.TR_INIT_DELTA
+    clamp_quat: bool = False               # guard sqrt(1-||v||^2) (opt-in)
+    max_inner: int = 64                    # LM damping-retry cap (the
+    # reference relies on integer-overflow of nu ~ 31 doublings,
+    # levmar.cpp:237-243; an explicit cap is equivalent and jit-friendly)
+    lm_switch_count: int = 5               # consecutive |rho-1|<0.2 iters
+    # before LM hands off to TR (levmar.cpp:218); set >max_iters to disable
+
+
+class ProblemArrays(NamedTuple):
+    """Device-resident, statically shaped problem data (jit arguments)."""
+
+    K: jnp.ndarray         # [C,5]
+    q0: jnp.ndarray        # [C,4]
+    obs: jnp.ndarray       # [O,2]
+    cam_idx: jnp.ndarray   # [O]
+    pt_idx: jnp.ndarray    # [O]  (shard-local point numbering when sharded)
+    pair_o1: jnp.ndarray   # [N]
+    pair_o2: jnp.ndarray   # [N]
+    pair_bucket: jnp.ndarray  # [N]  (C*C marks padded entries)
+    valid: jnp.ndarray | None = None  # [O] mask for padded observations
+
+    @staticmethod
+    def from_problem(prob, dtype=None):
+        prob = prob.with_pairs()
+        cast = (lambda a: jnp.asarray(a)) if dtype is None else (
+            lambda a: jnp.asarray(a, dtype=dtype)
+            if np.issubdtype(a.dtype, np.floating) else jnp.asarray(a)
+        )
+        return ProblemArrays(
+            K=cast(prob.K), q0=cast(prob.q0), obs=cast(prob.obs),
+            cam_idx=jnp.asarray(prob.cam_idx),
+            pt_idx=jnp.asarray(prob.pt_idx),
+            pair_o1=jnp.asarray(prob.pair_o1),
+            pair_o2=jnp.asarray(prob.pair_o2),
+            pair_bucket=jnp.asarray(prob.pair_bucket),
+        )
+
+    @property
+    def n_cams(self):
+        return self.K.shape[0]
+
+    @property
+    def n_obs(self):
+        return self.obs.shape[0]
+
+
+class OptState(NamedTuple):
+    """Parameters + scalar solver state shared by LM/TR/hybrid.
+
+    All scalars live on device; the hybrid controller reads `flag` (one
+    scalar transfer) between phases, mirroring the reference's host-level
+    switch loop (main.cpp:193-208)."""
+
+    cams: jnp.ndarray      # [C,6]
+    pts: jnp.ndarray       # [P,3]
+    ex: jnp.ndarray        # [O,2] residual at current params
+    ex_l2: jnp.ndarray     # scalar
+    itno: jnp.ndarray      # global iteration counter (shared LM+TR)
+    flag: jnp.ndarray      # ITER_* code
+
+    @staticmethod
+    def init(prob_arrays: ProblemArrays, cams, pts, clamp=False, ctx=None):
+        from psba_tpu.core.residual import error_l2, residuals
+        from psba_tpu.parallel.ctx import NO_MESH
+
+        ctx = ctx or NO_MESH
+        p = prob_arrays
+        ex = residuals(
+            p.K, p.q0, cams, pts, p.obs, p.cam_idx, p.pt_idx, clamp=clamp
+        )
+        return OptState(
+            cams=cams, pts=pts, ex=ex,
+            ex_l2=ctx.psum(error_l2(ex, valid=p.valid)),
+            itno=jnp.int32(0), flag=jnp.int32(C.ITER_CONTINUE),
+        )

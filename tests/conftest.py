@@ -13,6 +13,10 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# A TPU plugin may have been force-registered by a sitecustomize before this
+# conftest runs (overriding JAX_PLATFORMS); the config update below wins as
+# long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
