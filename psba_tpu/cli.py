@@ -75,7 +75,8 @@ def main(argv=None):
         prob = load_problem(args.cams, args.pts, shared_K=args.shared_K)
     print(prob.summary(), file=sys.stderr)
 
-    cfg = SolverConfig(
+    cfg = SolverConfig.for_dtype(
+        jnp.float32 if args.f32 else jnp.float64,
         tau=args.tau,
         max_iters=args.max_iters,
         clamp_quat=args.clamp_quat,

@@ -23,6 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from psba_tpu.ops.reduce import indexed_sum
+
 
 def inv3x3(V):
     """Batched closed-form symmetric 3x3 inverse via cofactors.
@@ -65,8 +67,12 @@ def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None):
     overflow segment."""
     C = n_cams
     contrib = jnp.einsum("nij,nkj->nik", Y[pair_o1], W[pair_o2])  # [N,6,6]
-    off = jax.ops.segment_sum(contrib, pair_bucket, num_segments=C * C + 1)
-    off = off[: C * C]
+    # bucket reduction: MXU one-hot matmul on TPU, scatter elsewhere;
+    # padded pair entries carry bucket C*C and contribute nothing
+    off = indexed_sum(
+        contrib.reshape(-1, 36), pair_bucket, C * C,
+        indices_are_sorted=True,
+    ).reshape(C * C, 6, 6)
     if psum is not None:
         off = psum(off)
     S = -off.reshape(C, C, 6, 6)
@@ -80,7 +86,7 @@ def reduced_rhs(ga, gb, Y, cam_idx, pt_idx, n_cams, psum=None):
     (kern_compute_ea). `ga` must be mesh-global; the observation sum is
     shard-local until `psum`."""
     contrib = jnp.einsum("oij,oj->oi", Y, gb[pt_idx])  # [O,6]
-    term = jax.ops.segment_sum(contrib, cam_idx, num_segments=n_cams)
+    term = indexed_sum(contrib, cam_idx, n_cams)
     if psum is not None:
         term = psum(term)
     return ga - term

@@ -55,7 +55,7 @@ def solve(
     `dtype` optionally casts the problem (e.g. jnp.float32 for the fast
     TPU path); default keeps the problem's own precision.
     """
-    cfg = config or SolverConfig()
+    cfg = config or SolverConfig.for_dtype(dtype or problem.pts.dtype)
     pa = ProblemArrays.from_problem(problem, dtype=dtype)
     cams = jnp.asarray(problem.cams, dtype=pa.K.dtype)
     pts = jnp.asarray(problem.pts, dtype=pa.K.dtype)

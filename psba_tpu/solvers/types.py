@@ -27,6 +27,22 @@ class SolverConfig(NamedTuple):
     lm_switch_count: int = 5               # consecutive |rho-1|<0.2 iters
     # before LM hands off to TR (levmar.cpp:218); set >max_iters to disable
 
+    @classmethod
+    def for_dtype(cls, dtype, **overrides) -> "SolverConfig":
+        """Defaults adapted to the working precision.
+
+        The reference's 1e-12 relative stop thresholds (psba.h:7-8) sit
+        below float32 roundoff (~1e-7): with them, an f32 run can never
+        trigger its stop tests and burns the whole iteration budget at the
+        optimum. The f32 defaults use reachable thresholds."""
+        import numpy as np
+
+        if np.dtype(dtype) == np.float32:
+            base = cls(stop_thresh=1e-6, eps2=3e-7)
+        else:
+            base = cls()
+        return base._replace(**overrides) if overrides else base
+
 
 class ProblemArrays(NamedTuple):
     """Device-resident, statically shaped problem data (jit arguments)."""
