@@ -46,7 +46,10 @@ def build_parser():
     p.add_argument("--out-pts", help="write optimized points")
     p.add_argument("--json", action="store_true",
                    help="emit one machine-readable JSON line")
-    p.add_argument("--checkpoint", help="checkpoint directory (orbax)")
+    p.add_argument("--checkpoint",
+                   help="checkpoint directory (phase-boundary save/resume)")
+    p.add_argument("--verbose", action="store_true",
+                   help="print per-iteration progress lines")
     return p
 
 
@@ -81,6 +84,7 @@ def main(argv=None):
         max_iters=args.max_iters,
         clamp_quat=args.clamp_quat,
         lm_switch_count=(1000 if args.solver == "lm" else 5),
+        record_history=args.verbose,
     )
     dtype = jnp.float32 if args.f32 else None
 
@@ -92,7 +96,10 @@ def main(argv=None):
         res = solve(
             prob, cfg, dtype=dtype,
             start=("tr" if args.solver == "tr" else "lm"),
+            checkpoint_dir=args.checkpoint,
         )
+    if args.verbose:
+        print(res.format_history(), file=sys.stderr)
 
     if args.out_cams:
         from psba_tpu.io.sba_text import write_cams

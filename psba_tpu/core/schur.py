@@ -56,7 +56,8 @@ def y_blocks(W, Vinv, pt_idx):
     return jnp.einsum("oij,ojk->oik", W, Vinv[pt_idx])
 
 
-def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None):
+def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None,
+            backend="xla"):
     """Assemble the dense reduced camera matrix S [6C, 6C]
     (kern_compute_S, CL_files/compute_S.cl:40-56).
 
@@ -66,13 +67,20 @@ def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None):
     sums. Padded pair entries carry bucket C*C, which lands in a discarded
     overflow segment."""
     C = n_cams
-    contrib = jnp.einsum("nij,nkj->nik", Y[pair_o1], W[pair_o2])  # [N,6,6]
-    # bucket reduction: MXU one-hot matmul on TPU, scatter elsewhere;
-    # padded pair entries carry bucket C*C and contribute nothing
-    off = indexed_sum(
-        contrib.reshape(-1, 36), pair_bucket, C * C,
-        indices_are_sorted=True,
-    ).reshape(C * C, 6, 6)
+    if backend == "pallas":
+        from psba_tpu.ops.schur_pallas import schur_off_pallas
+
+        off = schur_off_pallas(Y, W, pair_o1, pair_o2, pair_bucket, C)
+    else:
+        contrib = jnp.einsum(
+            "nij,nkj->nik", Y[pair_o1], W[pair_o2]
+        )  # [N,6,6]
+        # bucket reduction: MXU one-hot matmul on TPU, scatter elsewhere;
+        # padded pair entries carry bucket C*C and contribute nothing
+        off = indexed_sum(
+            contrib.reshape(-1, 36), pair_bucket, C * C,
+            indices_are_sorted=True,
+        ).reshape(C * C, 6, 6)
     if psum is not None:
         off = psum(off)
     S = -off.reshape(C, C, 6, 6)

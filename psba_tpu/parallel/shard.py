@@ -161,6 +161,7 @@ def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
     )
     state_spec = OptState(
         cams=P(), pts=P(AXIS), ex=P(AXIS), ex_l2=P(), itno=P(), flag=P(),
+        history=None,  # per-iteration capture unused in the sharded path
     )
 
     def smap(f, in_specs, out_specs):

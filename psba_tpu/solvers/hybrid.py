@@ -35,6 +35,30 @@ class SolveResult:
     flag_name: str
     wall_s: float
     phases: list  # [(phase, itno_after, flag_after)]
+    history: np.ndarray | None = None  # [iters, 6] per-iteration rows
+    # (itno, err, rho, mu|lambda, delta, |p|) when record_history
+
+    def format_history(self) -> str:
+        """Reference-style per-iteration progress lines
+        (levmar.cpp:197, trust_region.cpp:250)."""
+        if self.history is None:
+            return "(no history recorded)"
+        lines = []
+        for row in self.history:
+            if np.isnan(row[0]):
+                continue
+            itno, err, rho, mul, dk, pn = row
+            if np.isnan(dk):
+                lines.append(
+                    f"itno={int(itno)}\tErr={err:.9E}\trho={rho:f}"
+                    f"\tmu={mul:f}"
+                )
+            else:
+                lines.append(
+                    f"itno={int(itno)}\tErr={err:.9E}\tDelta={dk:f}"
+                    f"\tRho={rho:f}\tnorm_p={pn:f}\tLambda={mul:E}"
+                )
+        return "\n".join(lines)
 
     def __str__(self):
         return (
@@ -49,39 +73,64 @@ def solve(
     config: SolverConfig | None = None,
     dtype=None,
     start: str = "lm",
+    checkpoint_dir: str | None = None,
 ) -> SolveResult:
     """Full hybrid optimization of a BAProblem.
 
     `dtype` optionally casts the problem (e.g. jnp.float32 for the fast
     TPU path); default keeps the problem's own precision.
-    """
+    `checkpoint_dir` enables phase-boundary checkpointing with automatic
+    resume from the newest checkpoint."""
     cfg = config or SolverConfig.for_dtype(dtype or problem.pts.dtype)
     pa = ProblemArrays.from_problem(problem, dtype=dtype)
     cams = jnp.asarray(problem.cams, dtype=pa.K.dtype)
     pts = jnp.asarray(problem.pts, dtype=pa.K.dtype)
 
+    phase = start
+    resume_itno = 0
+    if checkpoint_dir:
+        from psba_tpu.utils import checkpoint as ckpt
+
+        restored = ckpt.load_latest(checkpoint_dir)
+        if restored is not None:
+            r_cams, r_pts, meta = restored
+            cams = jnp.asarray(r_cams, dtype=pa.K.dtype)
+            pts = jnp.asarray(r_pts, dtype=pa.K.dtype)
+            phase = meta.get("phase", start)
+            resume_itno = int(meta.get("itno", 0))
+
     lm = jax.jit(lm_run, static_argnames=("cfg",))
     tr = jax.jit(tr_run, static_argnames=("cfg",))
 
     state = OptState.init(pa, cams, pts, clamp=cfg.clamp_quat)
+    if resume_itno:
+        state = state._replace(itno=jnp.int32(resume_itno))
     initial_l2 = float(state.ex_l2)
     n_obs = problem.n_obs
 
     t0 = time.perf_counter()
-    phase = start
     phases = []
     while True:
         runner = lm if phase == "lm" else tr
         state = runner(pa, state, cfg)
         flag = int(state.flag)
         phases.append((phase, int(state.itno), flag))
+        next_phase = None
         if phase == "lm" and flag == CC.ITER_TURN_TO_TR:
-            phase = "tr"
-            continue
-        if phase == "tr" and flag == CC.ITER_TURN_TO_LM:
-            phase = "lm"
-            continue
-        break
+            next_phase = "tr"
+        elif phase == "tr" and flag == CC.ITER_TURN_TO_LM:
+            next_phase = "lm"
+        if checkpoint_dir:
+            from psba_tpu.utils import checkpoint as ckpt
+
+            ckpt.save(
+                checkpoint_dir, state.cams, state.pts, int(state.itno),
+                flag, next_phase or phase,
+                extra={"ex_l2": float(state.ex_l2)},
+            )
+        if next_phase is None:
+            break
+        phase = next_phase
     state.ex_l2.block_until_ready()
     wall = time.perf_counter() - t0
 
@@ -98,4 +147,7 @@ def solve(
         flag_name=CC.FLAG_NAMES.get(flag, str(flag)),
         wall_s=wall,
         phases=phases,
+        history=(
+            None if state.history is None else np.asarray(state.history)
+        ),
     )

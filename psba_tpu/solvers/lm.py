@@ -41,8 +41,21 @@ from psba_tpu.core.schur import (
     schur_S,
     y_blocks,
 )
+from psba_tpu.ops.linearize_pallas import (
+    linearize_pallas,
+    residual_l2_pallas,
+)
 from psba_tpu.parallel.ctx import NO_MESH, MeshCtx
 from psba_tpu.solvers.types import OptState, ProblemArrays, SolverConfig
+
+
+def use_pallas(cfg: SolverConfig, dtype) -> bool:
+    """Trace-time backend resolution (see SolverConfig.backend)."""
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend == "xla":
+        return False
+    return jax.default_backend() == "tpu" and dtype == jnp.float32
 
 _NU_OVERFLOW = float(2 ** 31)  # reference: int nu wraps (levmar.cpp:238-243)
 
@@ -59,6 +72,7 @@ class _Inner(NamedTuple):
     flag: jnp.ndarray
     accepted: jnp.ndarray
     tries: jnp.ndarray
+    rho: jnp.ndarray
 
 
 class _Outer(NamedTuple):
@@ -73,6 +87,7 @@ class _Outer(NamedTuple):
     itno: jnp.ndarray
     flag: jnp.ndarray
     first: jnp.ndarray
+    history: jnp.ndarray
 
 
 def lm_run(
@@ -107,15 +122,27 @@ def lm_run(
     def outer_cond(s: _Outer):
         return (s.itno < cfg.max_iters) & (s.flag == CC.ITER_CONTINUE)
 
+    pallas = use_pallas(cfg, dtype)
+    # the pair-stream S kernel is gather-bound and only wins when explicitly
+    # requested; auto mode pairs the fused linearize kernel with the XLA
+    # one-hot S assembly (see ops/schur_pallas.py)
+    s_backend = "pallas" if cfg.backend == "pallas" else "xla"
+
     def outer_body(s: _Outer):
-        A, B = jacobians(
-            pa.K, pa.q0, s.cams, s.pts, pa.cam_idx, pa.pt_idx,
-            clamp=cfg.clamp_quat,
-        )
-        U, V, W, ga, gb = assemble_blocks(
-            A, B, s.ex, pa.cam_idx, pa.pt_idx, C, s.pts.shape[0], coeff=1.0,
-            valid=pa.valid,
-        )
+        if pallas:
+            _ex_k, _l2, U, V, W, ga, gb, _, _ = linearize_pallas(
+                pa.K, pa.q0, s.cams, s.pts, pa.obs, pa.cam_idx, pa.pt_idx,
+                pa.valid, C, s.pts.shape[0], clamp=cfg.clamp_quat,
+            )
+        else:
+            A, B = jacobians(
+                pa.K, pa.q0, s.cams, s.pts, pa.cam_idx, pa.pt_idx,
+                clamp=cfg.clamp_quat,
+            )
+            U, V, W, ga, gb = assemble_blocks(
+                A, B, s.ex, pa.cam_idx, pa.pt_idx, C, s.pts.shape[0],
+                coeff=1.0, valid=pa.valid,
+            )
         U = ctx.psum(U)
         ga = ctx.psum(ga)
         # first-iteration damping seed (levmar.cpp:113-120)
@@ -129,7 +156,7 @@ def lm_run(
             Y = y_blocks(W, Vinv, pa.pt_idx)
             S = schur_S(
                 U_d, Y, W, pa.pair_o1, pa.pair_o2, pa.pair_bucket, C,
-                psum=ctx.psum,
+                psum=ctx.psum, backend=s_backend,
             )
             ea = reduced_rhs(
                 ga, gb, Y, pa.cam_idx, pa.pt_idx, C, psum=ctx.psum
@@ -150,11 +177,18 @@ def lm_run(
             # trial step (levmar.cpp:185-195)
             new_cams = t.cams + dpa
             new_pts = t.pts + dpb
-            new_ex = residuals(
-                pa.K, pa.q0, new_cams, new_pts, pa.obs, pa.cam_idx,
-                pa.pt_idx, clamp=cfg.clamp_quat,
-            )
-            new_l2 = ctx.psum(error_l2(new_ex, valid=pa.valid))
+            if pallas:
+                new_ex, new_l2 = residual_l2_pallas(
+                    pa.K, pa.q0, new_cams, new_pts, pa.obs, pa.cam_idx,
+                    pa.pt_idx, pa.valid, clamp=cfg.clamp_quat,
+                )
+                new_l2 = ctx.psum(new_l2)
+            else:
+                new_ex = residuals(
+                    pa.K, pa.q0, new_cams, new_pts, pa.obs, pa.cam_idx,
+                    pa.pt_idx, clamp=cfg.clamp_quat,
+                )
+                new_l2 = ctx.psum(error_l2(new_ex, valid=pa.valid))
             denom = jnp.sum(dpa * (t.mu * dpa + ga)) + ctx.psum(
                 jnp.sum(dpb * (t.mu * dpb + gb))
             )
@@ -216,12 +250,14 @@ def lm_run(
                 ),
                 accepted=accept,
                 tries=t.tries + 1,
+                rho=rho,
             )
 
         t0 = _Inner(
             cams=s.cams, pts=s.pts, ex=s.ex, ex_l2=s.ex_l2, mu=mu, nu=nu,
             p_l2=p_l2, good_cnt=s.good_cnt,
             flag=s.flag, accepted=jnp.bool_(False), tries=jnp.int32(0),
+            rho=jnp.asarray(jnp.nan, dtype),
         )
         t = jax.lax.while_loop(inner_cond, inner_body, t0)
         flag = jnp.where(
@@ -236,18 +272,31 @@ def lm_run(
             jnp.int32(CC.ITER_ERR_SMALL_ENOUGH),
             flag,
         )
+        history = s.history
+        if cfg.record_history:
+            nan = jnp.asarray(jnp.nan, dtype)
+            row = jnp.stack([
+                s.itno.astype(dtype), t.ex_l2, t.rho, t.mu, nan, nan,
+            ])
+            history = history.at[s.itno].set(row)
         return _Outer(
             cams=t.cams, pts=t.pts, ex=t.ex, ex_l2=t.ex_l2, mu=t.mu,
             nu=t.nu, p_l2=t.p_l2, good_cnt=t.good_cnt,
             itno=s.itno + 1, flag=flag, first=jnp.bool_(False),
+            history=history,
         )
 
+    history = state.history
+    if cfg.record_history and history is None:
+        history = jnp.full((cfg.max_iters, 6), jnp.nan, dtype)
+    elif not cfg.record_history:
+        history = None  # absent from the carry pytree
     s0 = _Outer(
         cams=state.cams, pts=state.pts, ex=state.ex, ex_l2=state.ex_l2,
         mu=jnp.asarray(0.0, dtype), nu=jnp.asarray(2.0, dtype),
         p_l2=jnp.asarray(1e3, dtype), good_cnt=jnp.int32(0),
         itno=state.itno, flag=jnp.int32(CC.ITER_CONTINUE),
-        first=jnp.bool_(True),
+        first=jnp.bool_(True), history=history,
     )
     s = jax.lax.while_loop(outer_cond, outer_body, s0)
     # loop may exit on the iteration budget with flag still CONTINUE;
@@ -255,6 +304,7 @@ def lm_run(
     return OptState(
         cams=s.cams, pts=s.pts, ex=s.ex, ex_l2=s.ex_l2, itno=s.itno,
         flag=s.flag,
+        history=s.history if cfg.record_history else None,
     )
 
 

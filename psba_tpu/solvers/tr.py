@@ -43,7 +43,12 @@ from psba_tpu.core.schur import (
     schur_S,
     y_blocks,
 )
+from psba_tpu.ops.linearize_pallas import (
+    linearize_pallas,
+    residual_l2_pallas,
+)
 from psba_tpu.parallel.ctx import NO_MESH, MeshCtx
+from psba_tpu.solvers.lm import use_pallas
 from psba_tpu.solvers.types import OptState, ProblemArrays, SolverConfig
 
 
@@ -70,6 +75,9 @@ class _ModelCarry(NamedTuple):
     good_iters: jnp.ndarray
     flag: jnp.ndarray
     tries: jnp.ndarray
+    rho: jnp.ndarray
+    p_norm: jnp.ndarray
+    act: jnp.ndarray
 
 
 class _Outer(NamedTuple):
@@ -85,6 +93,7 @@ class _Outer(NamedTuple):
     good_iters: jnp.ndarray
     itno: jnp.ndarray
     flag: jnp.ndarray
+    history: jnp.ndarray
 
 
 def _subspace_step(dot, pu_c, pu_p, pb_c, pb_p, g_c, g_p,
@@ -160,16 +169,30 @@ def tr_run(
             (s.flag == CC.ITER_PASS) | (s.flag == CC.ITER_CONTINUE)
         )
 
+    pallas = use_pallas(cfg, dtype)
+    # the pair-stream S kernel is gather-bound and only wins when explicitly
+    # requested; auto mode pairs the fused linearize kernel with the XLA
+    # one-hot S assembly (see ops/schur_pallas.py)
+    s_backend = "pallas" if cfg.backend == "pallas" else "xla"
+
     def outer_body(s: _Outer):
-        A, B = jacobians(
-            pa.K, pa.q0, s.cams, s.pts, pa.cam_idx, pa.pt_idx,
-            clamp=cfg.clamp_quat,
-        )
-        # one assembly with coeff=2 yields B-blocks; g = -(2 J^T ex)
-        U, V, W, ga2, gb2 = assemble_blocks(
-            A, B, s.ex, pa.cam_idx, pa.pt_idx, C, P, coeff=2.0,
-            valid=pa.valid,
-        )
+        # B-blocks carry coeff 2, g = -(2 J^T ex) (trust_region.cpp:122-137)
+        if pallas:
+            _ex_k, _l2, U1, V1, W1, ga1, gb1, A, B = linearize_pallas(
+                pa.K, pa.q0, s.cams, s.pts, pa.obs, pa.cam_idx, pa.pt_idx,
+                pa.valid, C, P, clamp=cfg.clamp_quat, want_jac=True,
+            )
+            U, V, W = 2.0 * U1, 2.0 * V1, 2.0 * W1
+            ga2, gb2 = 2.0 * ga1, 2.0 * gb1
+        else:
+            A, B = jacobians(
+                pa.K, pa.q0, s.cams, s.pts, pa.cam_idx, pa.pt_idx,
+                clamp=cfg.clamp_quat,
+            )
+            U, V, W, ga2, gb2 = assemble_blocks(
+                A, B, s.ex, pa.cam_idx, pa.pt_idx, C, P, coeff=2.0,
+                valid=pa.valid,
+            )
         U = ctx.psum(U)
         g_c, g_p = -ctx.psum(ga2), -gb2
 
@@ -190,7 +213,7 @@ def tr_run(
             Y = y_blocks(W, Vinv, pa.pt_idx)
             S = schur_S(
                 U_d, Y, W, pa.pair_o1, pa.pair_o2, pa.pair_bucket, C,
-                psum=ctx.psum,
+                psum=ctx.psum, backend=s_backend,
             )
             ea = reduced_rhs(
                 g_c, g_p, Y, pa.cam_idx, pa.pt_idx, C, psum=ctx.psum
@@ -260,11 +283,18 @@ def tr_run(
             )
             new_cams = m.cams + p_c
             new_pts = m.pts + p_p
-            new_ex = residuals(
-                pa.K, pa.q0, new_cams, new_pts, pa.obs, pa.cam_idx,
-                pa.pt_idx, clamp=cfg.clamp_quat,
-            )
-            act = ctx.psum(error_l2(new_ex, valid=pa.valid))
+            if pallas:
+                new_ex, act = residual_l2_pallas(
+                    pa.K, pa.q0, new_cams, new_pts, pa.obs, pa.cam_idx,
+                    pa.pt_idx, pa.valid, clamp=cfg.clamp_quat,
+                )
+                act = ctx.psum(act)
+            else:
+                new_ex = residuals(
+                    pa.K, pa.q0, new_cams, new_pts, pa.obs, pa.cam_idx,
+                    pa.pt_idx, clamp=cfg.clamp_quat,
+                )
+                act = ctx.psum(error_l2(new_ex, valid=pa.valid))
 
             tiny = jnp.abs((m.ex_l2 - act) / m.ex_l2) < cfg.eps2
 
@@ -333,13 +363,18 @@ def tr_run(
                 good_iters=good_iters,
                 flag=flag2,
                 tries=m.tries + 1,
+                rho=rho,
+                p_norm=p_norm,
+                act=act,
             )
 
+        nan = jnp.asarray(jnp.nan, dtype)
         m0 = _ModelCarry(
             cams=s.cams, pts=s.pts, ex=s.ex, ex_l2=s.ex_l2, dk=s.dk,
             lam=t.lam, origin_lam=t.origin_lam,
             notgood=s.notgood, good_iters=s.good_iters,
             flag=jnp.int32(CC.ITER_CONTINUE), tries=jnp.int32(0),
+            rho=nan, p_norm=nan, act=nan,
         )
         m = jax.lax.cond(
             solve_aborted,
@@ -352,20 +387,31 @@ def tr_run(
             )
         )
 
+        history = s.history
+        if cfg.record_history:
+            row = jnp.stack([
+                s.itno.astype(dtype), m.act, m.rho, m.lam, m.dk, m.p_norm,
+            ])
+            history = history.at[s.itno].set(row)
         return _Outer(
             cams=m.cams, pts=m.pts, ex=m.ex, ex_l2=m.ex_l2, dk=m.dk,
             lam=m.lam, origin_lam=m.origin_lam, nu=t.nu,
             notgood=m.notgood, good_iters=m.good_iters,
-            itno=s.itno + 1, flag=m.flag,
+            itno=s.itno + 1, flag=m.flag, history=history,
         )
 
+    history = state.history
+    if cfg.record_history and history is None:
+        history = jnp.full((cfg.max_iters, 6), jnp.nan, dtype)
+    elif not cfg.record_history:
+        history = None  # absent from the carry pytree
     s0 = _Outer(
         cams=state.cams, pts=state.pts, ex=state.ex, ex_l2=state.ex_l2,
         dk=jnp.asarray(cfg.init_delta, dtype),
         lam=jnp.asarray(0.0, dtype), origin_lam=jnp.asarray(0.0, dtype),
         nu=jnp.asarray(2.0, dtype),
         notgood=jnp.int32(0), good_iters=jnp.int32(0),
-        itno=state.itno, flag=jnp.int32(CC.ITER_CONTINUE),
+        itno=state.itno, flag=jnp.int32(CC.ITER_CONTINUE), history=history,
     )
     s = jax.lax.while_loop(outer_cond, outer_body, s0)
     flag = jnp.where(
@@ -374,6 +420,7 @@ def tr_run(
     return OptState(
         cams=s.cams, pts=s.pts, ex=s.ex, ex_l2=s.ex_l2, itno=s.itno,
         flag=flag,
+        history=s.history if cfg.record_history else None,
     )
 
 

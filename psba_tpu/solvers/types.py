@@ -26,6 +26,13 @@ class SolverConfig(NamedTuple):
     # levmar.cpp:237-243; an explicit cap is equivalent and jit-friendly)
     lm_switch_count: int = 5               # consecutive |rho-1|<0.2 iters
     # before LM hands off to TR (levmar.cpp:218); set >max_iters to disable
+    backend: str = "auto"                  # "auto" | "xla" | "pallas":
+    # op implementation for the linearization stream; auto = pallas on TPU
+    # when running float32, xla otherwise
+    record_history: bool = False           # per-iteration progress capture
+    # (device-side ring of the reference's progress lines: itno/err/rho/mu
+    # for LM (levmar.cpp:197), itno/err/delta/rho/|p|/lambda for TR
+    # (trust_region.cpp:250)); returned via OptState.history
 
     @classmethod
     def for_dtype(cls, dtype, **overrides) -> "SolverConfig":
@@ -95,6 +102,8 @@ class OptState(NamedTuple):
     ex_l2: jnp.ndarray     # scalar
     itno: jnp.ndarray      # global iteration counter (shared LM+TR)
     flag: jnp.ndarray      # ITER_* code
+    history: jnp.ndarray | None = None  # [max_iters, 6] per-iteration rows
+    # (itno, ex_l2, rho, mu-or-lambda, delta, p_norm); NaN-filled unused
 
     @staticmethod
     def init(prob_arrays: ProblemArrays, cams, pts, clamp=False, ctx=None):

@@ -1,0 +1,137 @@
+"""Pallas kernel vs XLA reference-implementation parity tests.
+
+On CPU these run the kernels in interpreter mode; the same code compiles
+via Mosaic on TPU (exercised by bench.py and the TPU driver)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psba_tpu.core.hessian import assemble_blocks
+from psba_tpu.core.jacobian import jacobians
+from psba_tpu.core.residual import error_l2, residuals
+from psba_tpu.ops.linearize_pallas import linearize_pallas, residual_l2_pallas
+from psba_tpu.ops.reduce import indexed_sum
+from psba_tpu.ops.schur_pallas import schur_off_pallas
+
+
+@pytest.fixture(scope="module")
+def fx(prob_synth):
+    p = prob_synth
+    f32 = jnp.float32
+    rng = np.random.default_rng(7)
+    cams = jnp.array(
+        p.cams + 1e-3 * rng.standard_normal(p.cams.shape), f32
+    )
+    pts = jnp.array(p.pts, f32)
+    return p, jnp.array(p.K, f32), jnp.array(p.q0, f32), cams, pts
+
+
+def test_linearize_matches_xla(fx):
+    p, K, q0, cams, pts = fx
+    obs = jnp.array(p.obs, jnp.float32)
+    ex_x = residuals(K, q0, cams, pts, obs, p.cam_idx, p.pt_idx)
+    A_x, B_x = jacobians(K, q0, cams, pts, p.cam_idx, p.pt_idx)
+    U_x, V_x, W_x, ga_x, gb_x = assemble_blocks(
+        A_x, B_x, ex_x, p.cam_idx, p.pt_idx, p.n_cams, p.n_pts
+    )
+    ex, l2, U, V, W, ga, gb, A, B = linearize_pallas(
+        K, q0, cams, pts, obs, jnp.asarray(p.cam_idx),
+        jnp.asarray(p.pt_idx), None, p.n_cams, p.n_pts, want_jac=True,
+    )
+    rel = lambda a, b: float(
+        jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30)
+    )
+    # f32 roundoff along a different evaluation order; residual magnitudes
+    # here are O(px) against O(1e3) projection coordinates
+    assert rel(ex, ex_x) < 1e-4
+    assert rel(A, A_x) < 1e-5 and rel(B, B_x) < 1e-5
+    assert rel(U, U_x) < 1e-5 and rel(V, V_x) < 1e-5
+    assert rel(W, W_x) < 1e-5
+    assert rel(ga, ga_x) < 1e-3 and rel(gb, gb_x) < 1e-3  # cancellation
+    np.testing.assert_allclose(
+        float(l2), float(error_l2(ex_x)), rtol=1e-5
+    )
+
+
+def test_linearize_valid_mask(fx):
+    """Padded observations must contribute nothing."""
+    p, K, q0, cams, pts = fx
+    obs = jnp.array(p.obs, jnp.float32)
+    O = p.n_obs
+    valid = jnp.arange(O) < (O - 7)
+    ex, l2, U, V, W, ga, gb, _, _ = linearize_pallas(
+        K, q0, cams, pts, obs, jnp.asarray(p.cam_idx),
+        jnp.asarray(p.pt_idx), valid, p.n_cams, p.n_pts,
+    )
+    # reference: XLA path with the same mask
+    ex_x = residuals(K, q0, cams, pts, obs, p.cam_idx, p.pt_idx)
+    A_x, B_x = jacobians(K, q0, cams, pts, p.cam_idx, p.pt_idx)
+    U_x, V_x, W_x, ga_x, gb_x = assemble_blocks(
+        A_x, B_x, ex_x, p.cam_idx, p.pt_idx, p.n_cams, p.n_pts, valid=valid
+    )
+    np.testing.assert_allclose(np.asarray(U), np.asarray(U_x), rtol=2e-4,
+                               atol=1e-2)
+    np.testing.assert_allclose(
+        float(l2), float(error_l2(ex_x, valid=valid)), rtol=1e-5
+    )
+
+
+def test_residual_l2_kernel(fx):
+    p, K, q0, cams, pts = fx
+    obs = jnp.array(p.obs, jnp.float32)
+    ex, l2 = residual_l2_pallas(
+        K, q0, cams, pts, obs, jnp.asarray(p.cam_idx),
+        jnp.asarray(p.pt_idx), None,
+    )
+    ex_x = residuals(K, q0, cams, pts, obs, p.cam_idx, p.pt_idx)
+    np.testing.assert_allclose(np.asarray(ex), np.asarray(ex_x), atol=1e-3)
+    np.testing.assert_allclose(float(l2), float(error_l2(ex_x)), rtol=1e-5)
+
+
+def test_schur_off_pallas(fx):
+    p, K, q0, cams, pts = fx
+    rng = np.random.default_rng(0)
+    Y = jnp.array(rng.standard_normal((p.n_obs, 6, 3)), jnp.float32)
+    W = jnp.array(rng.standard_normal((p.n_obs, 6, 3)), jnp.float32)
+    off_p = schur_off_pallas(
+        Y, W, jnp.asarray(p.pair_o1), jnp.asarray(p.pair_o2),
+        jnp.asarray(p.pair_bucket), p.n_cams,
+    )
+    contrib = jnp.einsum("nij,nkj->nik", Y[p.pair_o1], W[p.pair_o2])
+    off_x = indexed_sum(
+        contrib.reshape(-1, 36), jnp.asarray(p.pair_bucket),
+        p.n_cams ** 2, force="scatter",
+    ).reshape(p.n_cams ** 2, 6, 6)
+    np.testing.assert_allclose(
+        np.asarray(off_p), np.asarray(off_x), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_indexed_sum_modes():
+    rng = np.random.default_rng(1)
+    data = jnp.array(rng.standard_normal((100, 7)), jnp.float32)
+    idx = jnp.array(rng.integers(0, 13, 100), jnp.int32)
+    a = indexed_sum(data, idx, 13, force="matmul")
+    b = indexed_sum(data, idx, 13, force="scatter")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
+    # out-of-range index contributes nothing in both modes
+    idx2 = idx.at[0].set(13)
+    a2 = indexed_sum(data, idx2, 13, force="matmul")
+    b2 = indexed_sum(data, idx2, 13, force="scatter")
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_solver_pallas_backend_cpu(prob_synth):
+    """Force the pallas backend through the full solver (interpret mode)."""
+    from psba_tpu.solvers import SolverConfig
+    from psba_tpu.solvers.hybrid import solve
+
+    res_x = solve(prob_synth, SolverConfig.for_dtype(
+        jnp.float32, backend="xla"), dtype=jnp.float32)
+    res_p = solve(prob_synth, SolverConfig.for_dtype(
+        jnp.float32, backend="pallas"), dtype=jnp.float32)
+    assert res_p.final_l2 < 1.05 * res_x.final_l2
