@@ -22,8 +22,11 @@ def build_parser():
         prog="psba_tpu",
         description="TPU-native parallel sparse bundle adjustment",
     )
-    p.add_argument("--cams", required=True, help="camera text file")
+    p.add_argument("--cams", help="camera text file")
     p.add_argument("--pts", help="points text file (omit with --synth-pts)")
+    p.add_argument("--dataset",
+                   help="registered dataset name (see psba_tpu.datasets; "
+                        "cams-only BAL sets get synthesized points)")
     p.add_argument("--bal", action="store_true",
                    help="treat --cams as a raw BAL problem file")
     p.add_argument("--shared-K", type=float, nargs=5, default=None,
@@ -38,6 +41,9 @@ def build_parser():
     p.add_argument("--tau", type=float, default=1e-3)
     p.add_argument("--f32", action="store_true",
                    help="run the fast float32 pipeline (default float64)")
+    p.add_argument("--polish", type=int, default=0, metavar="N",
+                   help="append N float64 LM refinement iterations after "
+                        "the main run (mixed-precision strategy)")
     p.add_argument("--clamp-quat", action="store_true",
                    help="guard sqrt(1-||v||^2) against NaN")
     p.add_argument("--mesh", type=int, default=1,
@@ -58,8 +64,12 @@ def main(argv=None):
 
     import jax
 
-    if not args.f32:
-        jax.config.update("jax_enable_x64", True)
+    from psba_tpu.utils.debug import env_nan_checks
+
+    env_nan_checks()  # PSBA_DEBUG_NANS=1 enables jit NaN tripwires
+    # x64 stays enabled even for --f32: the fast path casts explicitly and
+    # the --polish refinement needs real float64
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
 
@@ -68,7 +78,13 @@ def main(argv=None):
     from psba_tpu.solvers import SolverConfig
     from psba_tpu.solvers.hybrid import solve
 
-    if args.bal:
+    if args.dataset:
+        from psba_tpu import datasets
+
+        prob = datasets.load(args.dataset)
+    elif not args.cams:
+        sys.exit("error: --cams or --dataset required")
+    elif args.bal:
         prob = bal_to_problem(args.cams)
     elif args.synth_pts:
         prob = synthesize_points_for_cams(args.cams, n_pts=args.synth_pts)
@@ -97,6 +113,7 @@ def main(argv=None):
             prob, cfg, dtype=dtype,
             start=("tr" if args.solver == "tr" else "lm"),
             checkpoint_dir=args.checkpoint,
+            polish_iters=args.polish,
         )
     if args.verbose:
         print(res.format_history(), file=sys.stderr)

@@ -74,13 +74,18 @@ def solve(
     dtype=None,
     start: str = "lm",
     checkpoint_dir: str | None = None,
+    polish_iters: int = 0,
 ) -> SolveResult:
     """Full hybrid optimization of a BAProblem.
 
     `dtype` optionally casts the problem (e.g. jnp.float32 for the fast
     TPU path); default keeps the problem's own precision.
     `checkpoint_dir` enables phase-boundary checkpointing with automatic
-    resume from the newest checkpoint."""
+    resume from the newest checkpoint.
+    `polish_iters` > 0 appends a float64 LM refinement after the main
+    (possibly float32) run — the mixed-precision strategy of SURVEY.md §7:
+    fast f32 iterations to the f32 floor, then a few emulated-f64 steps to
+    reference precision."""
     cfg = config or SolverConfig.for_dtype(dtype or problem.pts.dtype)
     pa = ProblemArrays.from_problem(problem, dtype=dtype)
     cams = jnp.asarray(problem.cams, dtype=pa.K.dtype)
@@ -131,6 +136,26 @@ def solve(
         if next_phase is None:
             break
         phase = next_phase
+
+    if polish_iters > 0:
+        import numpy as _np
+
+        if _np.dtype(pa.K.dtype) != _np.float64:
+            pa64 = ProblemArrays.from_problem(problem, dtype=jnp.float64)
+            cfg64 = SolverConfig.for_dtype(jnp.float64)._replace(
+                max_iters=int(state.itno) + polish_iters,
+                lm_switch_count=10_000,
+            )
+            state64 = OptState.init(
+                pa64,
+                jnp.asarray(state.cams, jnp.float64),
+                jnp.asarray(state.pts, jnp.float64),
+                clamp=cfg.clamp_quat,
+            )._replace(itno=state.itno)
+            lm64 = jax.jit(lm_run, static_argnames=("cfg",))
+            state = lm64(pa64, state64, cfg64)
+            flag = int(state.flag)
+            phases.append(("lm64", int(state.itno), flag))
     state.ex_l2.block_until_ready()
     wall = time.perf_counter() - t0
 

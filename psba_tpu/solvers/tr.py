@@ -129,7 +129,6 @@ def _subspace_step(dot, pu_c, pu_p, pb_c, pb_p, g_c, g_p,
     inside = p_norm <= delta
     use_pu = (~inside) & (pu_norm > delta)
     use_pb = (~inside) & (~use_pu) & (pb_norm <= delta)
-    use_dog = (~inside) & (~use_pu) & (~use_pb)
 
     scale_pu = delta / pu_norm
     out_c = jnp.where(
