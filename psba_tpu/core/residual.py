@@ -36,6 +36,22 @@ def error_l2(ex, valid=None):
     return jnp.sum(e2)
 
 
+def error_l2_diff(ex_old, ex_new, valid=None):
+    """sum||ex_old||^2 - sum||ex_new||^2 computed as
+    sum (e_old - e_new)(e_old + e_new).
+
+    The reference forms this difference from two separately accumulated
+    norms (compute_rho, levmar.cpp:271-280) — catastrophic cancellation in
+    float32 once the improvement falls below eps * L2. The factored form
+    keeps the gain ratio meaningful near convergence on the fast f32 path
+    (intentional numerical improvement; identical in exact arithmetic)."""
+    d = (ex_old - ex_new) * (ex_old + ex_new)
+    s = jnp.sum(d, axis=-1)
+    if valid is not None:
+        s = jnp.where(valid, s, 0.0)
+    return jnp.sum(s)
+
+
 def rms_error(ex_l2, n_obs):
     """The reference's reported metric sqrt(sum ||ex||^2) / n2Dprojs
     (main.cpp:216-217)."""

@@ -33,7 +33,7 @@ from psba_tpu import constants as CC
 from psba_tpu.core.hessian import assemble_blocks, damp_uv, max_diag
 from psba_tpu.core.jacobian import jacobians
 from psba_tpu.core.linalg import spd_solve
-from psba_tpu.core.residual import error_l2, residuals
+from psba_tpu.core.residual import error_l2, error_l2_diff, residuals
 from psba_tpu.core.schur import (
     back_substitute,
     inv3x3,
@@ -192,7 +192,10 @@ def lm_run(
             denom = jnp.sum(dpa * (t.mu * dpa + ga)) + ctx.psum(
                 jnp.sum(dpb * (t.mu * dpb + gb))
             )
-            rho = (t.ex_l2 - new_l2) / denom
+            # gain-ratio numerator in factored form (error_l2_diff): exact
+            # in infinite precision, conditioned for f32 near convergence
+            gain = ctx.psum(error_l2_diff(t.ex, new_ex, valid=pa.valid))
+            rho = gain / denom
             rho = jnp.where(ok, rho, -1.0)
 
             accept = (rho > 0) & ok & ~stop_small & ~stop_singular
@@ -229,7 +232,7 @@ def lm_run(
                 cams=jnp.where(accept, new_cams, t.cams),
                 pts=jnp.where(accept, new_pts, t.pts),
                 ex=jnp.where(accept, new_ex, t.ex),
-                ex_l2=jnp.where(accept, new_l2, t.ex_l2),
+                ex_l2=jnp.where(accept, t.ex_l2 - gain, t.ex_l2),
                 mu=jnp.where(
                     stopped, t.mu,
                     jnp.where(accept, t.mu * shrink, mu_rej),

@@ -35,7 +35,7 @@ from psba_tpu.core.gmw import gmw_bootstrap_lambda
 from psba_tpu.core.hessian import assemble_blocks, damp_uv
 from psba_tpu.core.jacobian import jacobians, jmultiply
 from psba_tpu.core.linalg import spd_solve
-from psba_tpu.core.residual import error_l2, residuals
+from psba_tpu.core.residual import error_l2, error_l2_diff, residuals
 from psba_tpu.core.schur import (
     back_substitute,
     inv3x3,
@@ -295,15 +295,16 @@ def tr_run(
                 )
                 act = ctx.psum(error_l2(new_ex, valid=pa.valid))
 
-            tiny = jnp.abs((m.ex_l2 - act) / m.ex_l2) < cfg.eps2
+            gain = ctx.psum(error_l2_diff(m.ex, new_ex, valid=pa.valid))
+            tiny = jnp.abs(gain / m.ex_l2) < cfg.eps2
 
             Jp = jmultiply(A, B, p_c, p_p, pa.cam_idx, pa.pt_idx)
             ptBp = 2.0 * ctx.psum(jnp.sum(Jp * Jp))
             pred = m.ex_l2 + _dot(g_c, g_p, p_c, p_p) + 0.5 * ptBp
-            rho = (m.ex_l2 - act) / (m.ex_l2 - pred)
+            rho = gain / (m.ex_l2 - pred)
 
-            improved = act < m.ex_l2
-            reduce_region = (rho < 0.25) | (act > m.ex_l2)
+            improved = gain > 0
+            reduce_region = (rho < 0.25) | ~improved
             accept_hi = (rho >= 0.75) & improved
             accept_lo = (rho >= 0.25) & (rho < 0.75) & improved
             accept = (accept_hi | accept_lo) & ~tiny
@@ -323,7 +324,7 @@ def tr_run(
             flag1 = jnp.where(accept, jnp.int32(CC.ITER_PASS), m.flag)
 
             # stop test (:252-255)
-            stop_small = jnp.abs((act - m.ex_l2) / m.ex_l2) <= cfg.eps2
+            stop_small = jnp.abs(gain / m.ex_l2) <= cfg.eps2
             # not-good counter (:257-263)
             notgood = jnp.where(rho < 0.25, m.notgood + 1, jnp.int32(0))
             to_lm = notgood >= 5
@@ -354,7 +355,7 @@ def tr_run(
                 cams=jnp.where(accept, new_cams, m.cams),
                 pts=jnp.where(accept, new_pts, m.pts),
                 ex=jnp.where(accept, new_ex, m.ex),
-                ex_l2=jnp.where(track, act, m.ex_l2),
+                ex_l2=jnp.where(track, m.ex_l2 - gain, m.ex_l2),
                 dk=dk_next,
                 lam=lam_next,
                 origin_lam=origin_next,
