@@ -38,6 +38,13 @@ FLAG_NAMES = {
     ITER_PASS: "PASS",
 }
 
+# Dense-Schur dispatch threshold: the blk_idx-gather formulation (see
+# psba_tpu.core.schur.schur_S_dense) materializes two [C, P, 6, 3] stacked
+# block tensors (144 bytes per (cam, point) cell in f32); above this many
+# C*P cells the covisibility pair list path is used instead. 8M cells
+# covers every reference/BAL dataset up to Rome-93 (~5.7M) within ~1.2 GB.
+DENSE_SCHUR_MAX_ENTRIES = 8 * 1024 * 1024
+
 # Parameter-block dimensions (PSBA/CL_files/PSBA.cl:5-7; fixed by the camera
 # model: 3 local-rotation + 3 translation per camera, 3 per point, 2 per
 # observation).

@@ -89,6 +89,61 @@ def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None,
     return S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
 
 
+def stack_blocks(W, blk_idx):
+    """Stack per-observation W blocks into the dense camera-major layout
+    ZW [C, P, 6, 3]: ZW[c, p] = W_o for the observation of point p in
+    camera c, zeros where unseen.
+
+    One row gather driven by the blk_idx table (the reference's dense
+    (point x cam) -> obs lookup, misc.cpp:190-199, transposed); unseen
+    cells index the appended zero row. On TPU this replaces every
+    scatter/segment/one-hot reduction downstream: S, ea, and eb all become
+    dense MXU contractions against ZW (see schur_S_dense)."""
+    O = W.shape[0]
+    C, P = blk_idx.shape
+    W_pad = jnp.concatenate(
+        [W.reshape(O, 18), jnp.zeros((1, 18), W.dtype)], axis=0
+    )
+    ZW = jnp.take(W_pad, blk_idx.reshape(-1), axis=0, mode="clip")
+    return ZW.reshape(C, P, 6, 3)
+
+
+def schur_S_dense(U, ZW, Vinv, psum=None):
+    """Dense-stacked Schur assembly: S = blockdiag(U) - ZY @ ZW^T.
+
+    Same math as schur_S (kern_compute_S, CL_files/compute_S.cl:40-56) in
+    one [6C, 3P] x [3P, 6C] MXU contraction: the p-axis sum enumerates
+    exactly the covisibility pairs, because unseen (c, p) cells are zero.
+    Also returns ZY [C, P, 6, 3] (Y_o = W_o Vinv stacked), reused by
+    reduced_rhs_dense. `U` must be mesh-global and damped; `psum` reduces
+    the shard-local off-diagonal sum."""
+    C = ZW.shape[0]
+    ZY = jnp.einsum("cpij,pjk->cpik", ZW, Vinv)
+    off = jnp.einsum("cpim,dpjm->cidj", ZY, ZW)    # [C,6,C,6]
+    if psum is not None:
+        off = psum(off)
+    S = -off
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(U)
+    return S.reshape(6 * C, 6 * C), ZY
+
+
+def reduced_rhs_dense(ga, gb, ZY, psum=None):
+    """ea = ga - sum_p ZY[:, p] gb_p  [C,6] (kern_compute_ea on the dense
+    stacked layout). `ga` must be mesh-global."""
+    term = jnp.einsum("cpij,pj->ci", ZY, gb)
+    if psum is not None:
+        term = psum(term)
+    return ga - term
+
+
+def back_substitute_dense(gb, ZW, Vinv, dpa):
+    """eb_i = gb_i - sum_c ZW[c, i]^T dpa_c;  dpb_i = Vinv_i eb_i
+    (kern_compute_eb + kern_compute_dpb on the dense stacked layout)."""
+    eb = gb - jnp.einsum("cpij,ci->pj", ZW, dpa)
+    dpb = jnp.einsum("pij,pj->pi", Vinv, eb)
+    return eb, dpb
+
+
 def reduced_rhs(ga, gb, Y, cam_idx, pt_idx, n_cams, psum=None):
     """ea_j = ga_j - sum_{o: cam(o)=j} Y_o gb_{i(o)}  [C,6]
     (kern_compute_ea). `ga` must be mesh-global; the observation sum is

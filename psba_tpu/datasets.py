@@ -95,7 +95,7 @@ def load(name: str, data_dir: str | None = None, seed: int = 0,
                     obs=z["obs"], cam_idx=z["cam_idx"], pt_idx=z["pt_idx"],
                 )
                 prob.validate()
-                return prob.with_pairs()
+                return prob
     prob = synthesize_points_for_cams(
         cams_path, n_pts=spec.synth_pts, mean_obs=spec.synth_mean_obs,
         seed=seed,

@@ -71,7 +71,7 @@ def two_view_problem(img1, img2, K, n_features: int = 256) -> BAProblem:
         cam_idx=cam_idx, pt_idx=pt_idx,
     )
     prob.validate()
-    return prob.with_pairs()
+    return prob
 
 
 def build_problem_from_tracks(K, q0, t, tracks) -> BAProblem:
@@ -104,4 +104,4 @@ def build_problem_from_tracks(K, q0, t, tracks) -> BAProblem:
         pt_idx=np.asarray(pt_idx, np.int32),
     )
     prob.validate()
-    return prob.with_pairs()
+    return prob

@@ -59,7 +59,7 @@ def read_bal(path: str, dtype=np.float64):
     )
 
 
-def bal_to_problem(path: str, dtype=np.float64, build_pairs=True) -> BAProblem:
+def bal_to_problem(path: str, dtype=np.float64, build_pairs=False) -> BAProblem:
     """Convert a raw BAL file to a BAProblem (distortion dropped,
     observations negated — see module docstring)."""
     cam_params, pts, obs, cam_idx, pt_idx = read_bal(path, dtype=dtype)

@@ -150,7 +150,7 @@ def load_problem(
     pts_path: str,
     shared_K=None,
     dtype=np.float64,
-    build_pairs: bool = True,
+    build_pairs: bool = False,
 ) -> BAProblem:
     """Load a full problem from a (cams, pts) text file pair.
 

@@ -95,7 +95,7 @@ def synthetic_problem(
         cam_idx=cam_idx.astype(np.int32), pt_idx=pt_idx.astype(np.int32),
     )
     prob.validate()
-    return prob.with_pairs()
+    return prob
 
 
 def _mat_to_quat(R):
@@ -211,7 +211,7 @@ def synthesize_points_for_cams(
         cam_idx=cam_idx, pt_idx=pt_idx,
     )
     prob.validate()
-    return prob.with_pairs()
+    return prob
 
 
 def _quat_to_mat_batch(q):

@@ -29,7 +29,7 @@ shard_map = jax.shard_map
 
 from psba_tpu import constants as CC
 from psba_tpu.parallel.ctx import MeshCtx
-from psba_tpu.problem import BAProblem, build_covis_pairs
+from psba_tpu.problem import BAProblem, build_blk_idx, build_covis_pairs
 from psba_tpu.solvers.lm import lm_run
 from psba_tpu.solvers.tr import tr_run
 from psba_tpu.solvers.types import OptState, ProblemArrays, SolverConfig
@@ -44,7 +44,7 @@ class ShardedProblem:
     n_devices: int
     o_per: int            # padded observations per shard
     p_per: int            # padded points per shard
-    n_per: int            # padded covis pairs per shard
+    n_per: int            # padded covis pairs per shard (0 when dense)
     K: np.ndarray         # [C,5] replicated
     q0: np.ndarray        # [C,4]
     cams: np.ndarray      # [C,6]
@@ -54,15 +54,20 @@ class ShardedProblem:
     valid: np.ndarray     # [D*o_per] bool
     pts: np.ndarray       # [D*p_per, 3] zero-padded
     pt_valid: np.ndarray  # [D*p_per] bool
-    pair_o1: np.ndarray   # [D*n_per] shard-local obs numbering
-    pair_o2: np.ndarray   # [D*n_per]
-    pair_bucket: np.ndarray  # [D*n_per]; C*C marks padding
     pt_starts: np.ndarray    # [D+1] global point range per shard
+    # Schur encoding (one of the two; see solvers/types.ProblemArrays)
+    pair_o1: np.ndarray | None = None  # [D*n_per] shard-local obs numbering
+    pair_o2: np.ndarray | None = None  # [D*n_per]
+    pair_bucket: np.ndarray | None = None  # [D*n_per]; C*C marks padding
+    blk: np.ndarray | None = None  # [C, D*p_per] shard-local obs numbering;
+    # o_per marks unseen cells (sharded on the point axis, dim 1)
 
 
-def shard_problem(prob: BAProblem, n_devices: int) -> ShardedProblem:
+def shard_problem(prob: BAProblem, n_devices: int,
+                  schur: str = "auto") -> ShardedProblem:
     """Split a problem into point-contiguous shards with balanced
-    observation counts."""
+    observation counts. `schur` in {"auto", "dense", "pairs"} picks the
+    per-shard S-assembly encoding (types.ProblemArrays.from_problem)."""
     Pn, C = prob.n_pts, prob.n_cams
     assert Pn >= n_devices, "need at least one point per device"
     counts = np.bincount(prob.pt_idx, minlength=Pn)
@@ -76,13 +81,25 @@ def shard_problem(prob: BAProblem, n_devices: int) -> ShardedProblem:
         pt_starts[i] = max(pt_starts[i], pt_starts[i - 1] + 1)
     pt_starts[-1] = Pn
 
+    # dense encoding decided on the largest shard's [C, p_per] table
+    if schur == "auto":
+        max_p_per = int(np.max(np.diff(pt_starts)))
+        schur = (
+            "dense" if C * max_p_per <= CC.DENSE_SCHUR_MAX_ENTRIES
+            else "pairs"
+        )
+    dense = schur == "dense"
+
     shards = []
     for d in range(n_devices):
         p_lo, p_hi = pt_starts[d], pt_starts[d + 1]
         o_lo, o_hi = cum[p_lo], cum[p_hi]
         loc_pt = prob.pt_idx[o_lo:o_hi] - p_lo
         loc_cam = prob.cam_idx[o_lo:o_hi]
-        o1, o2, bucket = build_covis_pairs(loc_pt, loc_cam, C)
+        if dense:
+            o1 = o2 = bucket = np.zeros(0, np.int32)
+        else:
+            o1, o2, bucket = build_covis_pairs(loc_pt, loc_cam, C)
         shards.append(dict(
             obs=prob.obs[o_lo:o_hi], cam_idx=loc_cam, pt_idx=loc_pt,
             pts=prob.pts[p_lo:p_hi], o1=o1, o2=o2, bucket=bucket,
@@ -99,9 +116,15 @@ def shard_problem(prob: BAProblem, n_devices: int) -> ShardedProblem:
         return np.concatenate([a, np.full(pad_shape, fill, dtype=a.dtype)])
 
     obs, cam_idx, pt_idx, valid, pts, pt_valid = [], [], [], [], [], []
-    po1, po2, pbk = [], [], []
+    po1, po2, pbk, blks = [], [], [], []
     for s in shards:
         n_o, n_p = len(s["cam_idx"]), len(s["pts"])
+        if dense:
+            # shard-local table padded on the point axis; o_per (the index
+            # of stack_blocks' appended zero row) marks unseen cells
+            b = np.full((C, p_per), o_per, dtype=np.int32)
+            b[s["cam_idx"], s["pt_idx"]] = np.arange(n_o, dtype=np.int32)
+            blks.append(b)
         # padded observations duplicate the shard's first observation so the
         # residual stays finite; `valid` masks them out of every reduction
         obs.append(pad(s["obs"], o_per, fill=0) if n_o == o_per else
@@ -123,8 +146,10 @@ def shard_problem(prob: BAProblem, n_devices: int) -> ShardedProblem:
         obs=cat(obs), cam_idx=cat(cam_idx).astype(np.int32),
         pt_idx=cat(pt_idx).astype(np.int32), valid=cat(valid),
         pts=cat(pts), pt_valid=cat(pt_valid),
-        pair_o1=cat(po1).astype(np.int32), pair_o2=cat(po2).astype(np.int32),
-        pair_bucket=cat(pbk).astype(np.int32),
+        pair_o1=None if dense else cat(po1).astype(np.int32),
+        pair_o2=None if dense else cat(po2).astype(np.int32),
+        pair_bucket=None if dense else cat(pbk).astype(np.int32),
+        blk=np.concatenate(blks, axis=1) if dense else None,
         pt_starts=pt_starts,
     )
 
@@ -144,11 +169,14 @@ def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
     fdt = (lambda a: jnp.asarray(a)) if dtype is None else (
         lambda a: jnp.asarray(a, dtype=dtype))
 
+    dense = sp.blk is not None
+    opt = lambda a: None if a is None else jnp.asarray(a)
     pa_global = ProblemArrays(
         K=fdt(sp.K), q0=fdt(sp.q0), obs=fdt(sp.obs),
         cam_idx=jnp.asarray(sp.cam_idx), pt_idx=jnp.asarray(sp.pt_idx),
-        pair_o1=jnp.asarray(sp.pair_o1), pair_o2=jnp.asarray(sp.pair_o2),
-        pair_bucket=jnp.asarray(sp.pair_bucket),
+        pair_o1=opt(sp.pair_o1), pair_o2=opt(sp.pair_o2),
+        pair_bucket=opt(sp.pair_bucket),
+        blk_idx=opt(sp.blk),
         valid=jnp.asarray(sp.valid),
     )
     pts0 = fdt(sp.pts)
@@ -156,7 +184,10 @@ def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
 
     pa_spec = ProblemArrays(
         K=P(), q0=P(), obs=P(AXIS), cam_idx=P(AXIS), pt_idx=P(AXIS),
-        pair_o1=P(AXIS), pair_o2=P(AXIS), pair_bucket=P(AXIS),
+        pair_o1=None if dense else P(AXIS),
+        pair_o2=None if dense else P(AXIS),
+        pair_bucket=None if dense else P(AXIS),
+        blk_idx=P(None, AXIS) if dense else None,  # point axis is dim 1
         valid=P(AXIS),
     )
     state_spec = OptState(

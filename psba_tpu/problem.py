@@ -59,6 +59,12 @@ class BAProblem:
     pair_o2: np.ndarray | None = None      # [N] int32
     pair_bucket: np.ndarray | None = None  # [N] int32 in [0, C*C)
 
+    # Dense (cam, point) -> observation lookup (built by with_blk()); the
+    # reference's blk_idx table (misc.cpp:190-199) transposed to camera-major
+    # and with n_obs (instead of -1) marking unseen cells so it gathers a
+    # zero row directly (see core/schur.py::stack_blocks).
+    blk_idx: np.ndarray | None = None      # [C, P] int32; n_obs = unseen
+
     @property
     def n_cams(self) -> int:
         return int(self.K.shape[0])
@@ -97,6 +103,17 @@ class BAProblem:
         )
         return dataclasses.replace(
             self, pair_o1=o1, pair_o2=o2, pair_bucket=bucket
+        )
+
+    def with_blk(self) -> "BAProblem":
+        """Return a copy carrying the dense blk_idx table (idempotent)."""
+        if self.blk_idx is not None:
+            return self
+        return dataclasses.replace(
+            self,
+            blk_idx=build_blk_idx(
+                self.pt_idx, self.cam_idx, self.n_cams, self.n_pts
+            ),
         )
 
     def summary(self) -> str:
@@ -157,6 +174,24 @@ def build_covis_pairs(pt_idx: np.ndarray, cam_idx: np.ndarray, n_cams: int):
     )
 
 
+def build_blk_idx(pt_idx: np.ndarray, cam_idx: np.ndarray, n_cams: int,
+                  n_pts: int) -> np.ndarray:
+    """Dense camera-major (cam, point) -> observation-index table.
+
+    The reference builds the same table point-major as blk_idx[i*nCams+j]
+    with -1 for unseen cells (misc.cpp:190-199) and loops over it inside
+    kern_compute_U/V/S. Here it drives a single row gather that stacks the
+    per-observation W blocks into the dense [C, P, 6, 3] layout consumed by
+    the matmul Schur assembly; unseen cells hold n_obs, the index of an
+    appended all-zero row (negative markers would wrap, not fill)."""
+    n_obs = len(pt_idx)
+    blk = np.full((n_cams, n_pts), n_obs, dtype=np.int32)
+    blk[np.asarray(cam_idx), np.asarray(pt_idx)] = np.arange(
+        n_obs, dtype=np.int32
+    )
+    return blk
+
+
 def visibility_mask(problem: BAProblem) -> np.ndarray:
     """Dense [P, C] uint8 visibility mask (reference vmask layout,
     readparams.cpp:415)."""
@@ -191,5 +226,5 @@ def pad_observations(problem: BAProblem, multiple: int) -> "BAProblem":
              np.full(pad, problem.n_pts - 1, dtype=problem.pt_idx.dtype)]
         ),
         obs_cov=None if problem.obs_cov is None else rep(problem.obs_cov),
-        pair_o1=None, pair_o2=None, pair_bucket=None,
+        pair_o1=None, pair_o2=None, pair_bucket=None, blk_idx=None,
     )

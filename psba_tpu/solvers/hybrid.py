@@ -75,6 +75,7 @@ def solve(
     start: str = "lm",
     checkpoint_dir: str | None = None,
     polish_iters: int = 0,
+    schur: str = "auto",
 ) -> SolveResult:
     """Full hybrid optimization of a BAProblem.
 
@@ -85,9 +86,11 @@ def solve(
     `polish_iters` > 0 appends a float64 LM refinement after the main
     (possibly float32) run — the mixed-precision strategy of SURVEY.md §7:
     fast f32 iterations to the f32 floor, then a few emulated-f64 steps to
-    reference precision."""
+    reference precision.
+    `schur` in {"auto", "dense", "pairs"} picks the S-assembly encoding
+    (see ProblemArrays.from_problem)."""
     cfg = config or SolverConfig.for_dtype(dtype or problem.pts.dtype)
-    pa = ProblemArrays.from_problem(problem, dtype=dtype)
+    pa = ProblemArrays.from_problem(problem, dtype=dtype, schur=schur)
     cams = jnp.asarray(problem.cams, dtype=pa.K.dtype)
     pts = jnp.asarray(problem.pts, dtype=pa.K.dtype)
 
@@ -141,7 +144,9 @@ def solve(
         import numpy as _np
 
         if _np.dtype(pa.K.dtype) != _np.float64:
-            pa64 = ProblemArrays.from_problem(problem, dtype=jnp.float64)
+            pa64 = ProblemArrays.from_problem(
+                problem, dtype=jnp.float64, schur=schur
+            )
             cfg64 = SolverConfig.for_dtype(jnp.float64)._replace(
                 max_iters=int(state.itno) + polish_iters,
                 lm_switch_count=10_000,

@@ -36,9 +36,13 @@ from psba_tpu.core.linalg import spd_solve
 from psba_tpu.core.residual import error_l2, error_l2_diff, residuals
 from psba_tpu.core.schur import (
     back_substitute,
+    back_substitute_dense,
     inv3x3,
     reduced_rhs,
+    reduced_rhs_dense,
     schur_S,
+    schur_S_dense,
+    stack_blocks,
     y_blocks,
 )
 from psba_tpu.ops.linearize_pallas import (
@@ -123,9 +127,11 @@ def lm_run(
         return (s.itno < cfg.max_iters) & (s.flag == CC.ITER_CONTINUE)
 
     pallas = use_pallas(cfg, dtype)
-    # the pair-stream S kernel is gather-bound and only wins when explicitly
-    # requested; auto mode pairs the fused linearize kernel with the XLA
-    # one-hot S assembly (see ops/schur_pallas.py)
+    # Schur encoding is a pytree-structure property of pa (types.py): dense
+    # blk_idx stacking when present, covisibility pair list otherwise. The
+    # pair-stream Pallas S kernel is gather-bound and only wins when
+    # explicitly requested (see ops/schur_pallas.py).
+    dense = pa.blk_idx is not None
     s_backend = "pallas" if cfg.backend == "pallas" else "xla"
 
     def outer_body(s: _Outer):
@@ -145,6 +151,11 @@ def lm_run(
             )
         U = ctx.psum(U)
         ga = ctx.psum(ga)
+        if dense:
+            # loop-invariant across damping retries: W is fixed per outer
+            # iteration, so the gather happens once; every retry below is
+            # pure dense matmuls against ZW
+            ZW = stack_blocks(W, pa.blk_idx)
         # first-iteration damping seed (levmar.cpp:113-120)
         mu = jnp.where(s.first, cfg.tau * ctx.pmax(max_diag(U, V)), s.mu)
         nu = jnp.where(s.first, 2.0, s.nu)
@@ -153,19 +164,26 @@ def lm_run(
         def inner_body(t: _Inner):
             U_d, V_d = damp_uv(U, V, t.mu)
             Vinv, _vok = inv3x3(V_d)
-            Y = y_blocks(W, Vinv, pa.pt_idx)
-            S = schur_S(
-                U_d, Y, W, pa.pair_o1, pa.pair_o2, pa.pair_bucket, C,
-                psum=ctx.psum, backend=s_backend,
-            )
-            ea = reduced_rhs(
-                ga, gb, Y, pa.cam_idx, pa.pt_idx, C, psum=ctx.psum
-            )
+            if dense:
+                S, ZY = schur_S_dense(U_d, ZW, Vinv, psum=ctx.psum)
+                ea = reduced_rhs_dense(ga, gb, ZY, psum=ctx.psum)
+            else:
+                Y = y_blocks(W, Vinv, pa.pt_idx)
+                S = schur_S(
+                    U_d, Y, W, pa.pair_o1, pa.pair_o2, pa.pair_bucket, C,
+                    psum=ctx.psum, backend=s_backend,
+                )
+                ea = reduced_rhs(
+                    ga, gb, Y, pa.cam_idx, pa.pt_idx, C, psum=ctx.psum
+                )
             dpa_flat, ok = spd_solve(S, ea.reshape(-1))
             dpa = dpa_flat.reshape(C, 6)
-            _eb, dpb = back_substitute(
-                gb, W, Vinv, dpa, pa.cam_idx, pa.pt_idx, t.pts.shape[0]
-            )
+            if dense:
+                _eb, dpb = back_substitute_dense(gb, ZW, Vinv, dpa)
+            else:
+                _eb, dpb = back_substitute(
+                    gb, W, Vinv, dpa, pa.cam_idx, pa.pt_idx, t.pts.shape[0]
+                )
             dp_l2 = jnp.sum(dpa * dpa) + ctx.psum(jnp.sum(dpb * dpb))
 
             # stop tests (levmar.cpp:169-179), only meaningful on a valid dp

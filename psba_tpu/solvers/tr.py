@@ -38,9 +38,13 @@ from psba_tpu.core.linalg import spd_solve
 from psba_tpu.core.residual import error_l2, error_l2_diff, residuals
 from psba_tpu.core.schur import (
     back_substitute,
+    back_substitute_dense,
     inv3x3,
     reduced_rhs,
+    reduced_rhs_dense,
     schur_S,
+    schur_S_dense,
+    stack_blocks,
     y_blocks,
 )
 from psba_tpu.ops.linearize_pallas import (
@@ -169,9 +173,9 @@ def tr_run(
         )
 
     pallas = use_pallas(cfg, dtype)
-    # the pair-stream S kernel is gather-bound and only wins when explicitly
-    # requested; auto mode pairs the fused linearize kernel with the XLA
-    # one-hot S assembly (see ops/schur_pallas.py)
+    # Schur encoding dispatch as in psba_tpu.solvers.lm: dense blk_idx
+    # stacking when present in pa, covisibility pair list otherwise
+    dense = pa.blk_idx is not None
     s_backend = "pallas" if cfg.backend == "pallas" else "xla"
 
     def outer_body(s: _Outer):
@@ -194,6 +198,9 @@ def tr_run(
             )
         U = ctx.psum(U)
         g_c, g_p = -ctx.psum(ga2), -gb2
+        if dense:
+            # loop-invariant across the lambda-escalation retries below
+            ZW = stack_blocks(W, pa.blk_idx)
 
         # Cauchy step P_U = -(g^T g / g^T B g) g (trust_region.cpp:125-130)
         Jg = jmultiply(A, B, g_c, g_p, pa.cam_idx, pa.pt_idx)
@@ -209,19 +216,26 @@ def tr_run(
         def solve_body(t: _SolveCarry):
             U_d, V_d = damp_uv(U, V, t.lam)
             Vinv, _ = inv3x3(V_d)
-            Y = y_blocks(W, Vinv, pa.pt_idx)
-            S = schur_S(
-                U_d, Y, W, pa.pair_o1, pa.pair_o2, pa.pair_bucket, C,
-                psum=ctx.psum, backend=s_backend,
-            )
-            ea = reduced_rhs(
-                g_c, g_p, Y, pa.cam_idx, pa.pt_idx, C, psum=ctx.psum
-            )
+            if dense:
+                S, ZY = schur_S_dense(U_d, ZW, Vinv, psum=ctx.psum)
+                ea = reduced_rhs_dense(g_c, g_p, ZY, psum=ctx.psum)
+            else:
+                Y = y_blocks(W, Vinv, pa.pt_idx)
+                S = schur_S(
+                    U_d, Y, W, pa.pair_o1, pa.pair_o2, pa.pair_bucket, C,
+                    psum=ctx.psum, backend=s_backend,
+                )
+                ea = reduced_rhs(
+                    g_c, g_p, Y, pa.cam_idx, pa.pt_idx, C, psum=ctx.psum
+                )
             dpa_flat, ok = spd_solve(S, ea.reshape(-1))
             dpa = dpa_flat.reshape(C, 6)
-            _eb, dpb = back_substitute(
-                g_p, W, Vinv, dpa, pa.cam_idx, pa.pt_idx, P
-            )
+            if dense:
+                _eb, dpb = back_substitute_dense(g_p, ZW, Vinv, dpa)
+            else:
+                _eb, dpb = back_substitute(
+                    g_p, W, Vinv, dpa, pa.cam_idx, pa.pt_idx, P
+                )
             pb_c_new, pb_p_new = -dpa, -dpb
 
             # failure handling (compute_PB :341-371 + caller :143-158)

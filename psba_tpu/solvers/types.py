@@ -59,25 +59,42 @@ class ProblemArrays(NamedTuple):
     obs: jnp.ndarray       # [O,2]
     cam_idx: jnp.ndarray   # [O]
     pt_idx: jnp.ndarray    # [O]  (shard-local point numbering when sharded)
-    pair_o1: jnp.ndarray   # [N]
-    pair_o2: jnp.ndarray   # [N]
-    pair_bucket: jnp.ndarray  # [N]  (C*C marks padded entries)
+    # Schur sparsity: exactly one of the two encodings is present. Dense:
+    # blk_idx [C,P] (n_obs marks unseen cells) drives the gather + matmul
+    # path of core/schur.schur_S_dense. Pairs: the covisibility pair list
+    # (C*C buckets mark padded entries) drives schur_S. Presence is a
+    # pytree-structure property, so solvers dispatch at trace time.
+    pair_o1: jnp.ndarray | None = None      # [N]
+    pair_o2: jnp.ndarray | None = None      # [N]
+    pair_bucket: jnp.ndarray | None = None  # [N]
+    blk_idx: jnp.ndarray | None = None      # [C, P]
     valid: jnp.ndarray | None = None  # [O] mask for padded observations
 
     @staticmethod
-    def from_problem(prob, dtype=None):
-        prob = prob.with_pairs()
+    def from_problem(prob, dtype=None, schur="auto"):
+        """Build device arrays; `schur` in {"auto", "dense", "pairs"}
+        selects the S-assembly encoding (auto = dense while the [C,P] block
+        table stays under constants.DENSE_SCHUR_MAX_ENTRIES)."""
+        if schur == "auto":
+            schur = (
+                "dense"
+                if prob.n_cams * prob.n_pts <= C.DENSE_SCHUR_MAX_ENTRIES
+                else "pairs"
+            )
+        prob = prob.with_blk() if schur == "dense" else prob.with_pairs()
         cast = (lambda a: jnp.asarray(a)) if dtype is None else (
             lambda a: jnp.asarray(a, dtype=dtype)
             if np.issubdtype(a.dtype, np.floating) else jnp.asarray(a)
         )
+        opt = lambda a: None if a is None else jnp.asarray(a)
         return ProblemArrays(
             K=cast(prob.K), q0=cast(prob.q0), obs=cast(prob.obs),
             cam_idx=jnp.asarray(prob.cam_idx),
             pt_idx=jnp.asarray(prob.pt_idx),
-            pair_o1=jnp.asarray(prob.pair_o1),
-            pair_o2=jnp.asarray(prob.pair_o2),
-            pair_bucket=jnp.asarray(prob.pair_bucket),
+            pair_o1=opt(prob.pair_o1),
+            pair_o2=opt(prob.pair_o2),
+            pair_bucket=opt(prob.pair_bucket),
+            blk_idx=opt(prob.blk_idx),
         )
 
     @property

@@ -13,9 +13,13 @@ from psba_tpu.core.linalg import spd_solve
 from psba_tpu.core.residual import residuals
 from psba_tpu.core.schur import (
     back_substitute,
+    back_substitute_dense,
     inv3x3,
     reduced_rhs,
+    reduced_rhs_dense,
     schur_S,
+    schur_S_dense,
+    stack_blocks,
     y_blocks,
 )
 from tests import oracle
@@ -69,7 +73,7 @@ def test_blocks_match_dense(prob_synth):
 
 def test_schur_matches_dense(prob_synth):
     """S and ea must equal the dense Schur complement of the damped H."""
-    p = prob_synth
+    p = prob_synth.with_pairs()
     mu = 0.37
     ex, A, B, U, V, W, ga, gb = _setup(p)
     U_d, V_d = damp_uv(U, V, mu)
@@ -105,6 +109,48 @@ def test_schur_matches_dense(prob_synth):
     )
     np.testing.assert_allclose(
         np.asarray(dpb).ravel(), dp_dense[nc:], rtol=1e-7, atol=1e-9
+    )
+
+
+def test_schur_dense_stack_matches_pairs(prob_synth):
+    """The blk_idx gather + matmul path (schur_S_dense / reduced_rhs_dense /
+    back_substitute_dense) must agree with the covisibility pair-list path
+    on S, ea, and the back-substituted step."""
+    p = prob_synth.with_pairs().with_blk()
+    mu = 0.37
+    ex, A, B, U, V, W, ga, gb = _setup(p)
+    U_d, V_d = damp_uv(U, V, mu)
+    Vinv, ok = inv3x3(V_d)
+    assert bool(ok)
+
+    Y = y_blocks(W, Vinv, p.pt_idx)
+    S_pairs = schur_S(U_d, Y, W, p.pair_o1, p.pair_o2, p.pair_bucket,
+                      p.n_cams)
+    ea_pairs = reduced_rhs(ga, gb, Y, p.cam_idx, p.pt_idx, p.n_cams)
+
+    ZW = stack_blocks(W, jnp.asarray(p.blk_idx))
+    S_dense, ZY = schur_S_dense(U_d, ZW, Vinv)
+    ea_dense = reduced_rhs_dense(ga, gb, ZY)
+
+    np.testing.assert_allclose(
+        np.asarray(S_dense), np.asarray(S_pairs), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(ea_dense), np.asarray(ea_pairs), rtol=1e-9, atol=1e-9
+    )
+
+    dpa_flat, sok = spd_solve(S_dense, ea_dense.reshape(-1))
+    assert bool(sok)
+    dpa = dpa_flat.reshape(p.n_cams, 6)
+    eb_p, dpb_p = back_substitute(
+        gb, W, Vinv, dpa, p.cam_idx, p.pt_idx, p.n_pts
+    )
+    eb_d, dpb_d = back_substitute_dense(gb, ZW, Vinv, dpa)
+    np.testing.assert_allclose(
+        np.asarray(dpb_d), np.asarray(dpb_p), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(eb_d), np.asarray(eb_p), rtol=1e-9, atol=1e-12
     )
 
 

@@ -18,7 +18,7 @@ from psba_tpu.ops.schur_pallas import schur_off_pallas
 
 @pytest.fixture(scope="module")
 def fx(prob_synth):
-    p = prob_synth
+    p = prob_synth.with_pairs()
     f32 = jnp.float32
     rng = np.random.default_rng(7)
     cams = jnp.array(

@@ -33,14 +33,27 @@ def test_shard_problem_partition(prob_synth):
     assert per_dev.max() <= 1.3 * per_dev.min()
 
 
-def test_sharded_matches_single(prob_synth):
-    r1 = solve(prob_synth)
-    r4 = solve_sharded(prob_synth, n_devices=4)
-    assert r4.iterations == r1.iterations
+def test_sharded_matches_single_lm(prob_synth):
+    """Pure-LM trajectory: acceptance decisions (rho > 0) are far from
+    their thresholds, so the sharded run must take the same path; only the
+    final ||dp|| stop-test crossing may shift by one iteration (dp -> 0 at
+    the optimum, so its threshold comparison sits at roundoff)."""
+    cfg = SolverConfig(lm_switch_count=10**6)
+    r1 = solve(prob_synth, cfg)
+    r4 = solve_sharded(prob_synth, cfg, n_devices=4)
+    assert abs(r4.iterations - r1.iterations) <= 1
     assert r4.flag == r1.flag
     np.testing.assert_allclose(r4.final_l2, r1.final_l2, rtol=1e-9)
-    # parameters agree up to reduction-order roundoff amplified through the
-    # iteration; the objective agreement above is the meaningful invariant
+    np.testing.assert_allclose(r4.cams, r1.cams, rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_matches_single_hybrid(prob_synth):
+    """Hybrid trajectory: the LM<->TR switch counters sit on |rho-1|<0.2
+    style thresholds, so psum reduction-order roundoff may legitimately
+    reroute the path; the invariant is the reached optimum, not the route."""
+    r1 = solve(prob_synth)
+    r4 = solve_sharded(prob_synth, n_devices=4)
+    np.testing.assert_allclose(r4.final_l2, r1.final_l2, rtol=1e-9)
     np.testing.assert_allclose(r4.cams, r1.cams, rtol=1e-3, atol=1e-5)
 
 

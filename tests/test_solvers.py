@@ -29,6 +29,18 @@ def test_hybrid_converges_synth(prob_synth):
     assert rms_px(res, prob_synth.n_obs) < 0.6
 
 
+def test_schur_encodings_agree(prob_synth):
+    """Dense blk_idx path and covisibility pair-list path must converge to
+    the same optimum (the per-iteration math is identical up to f64
+    summation order)."""
+    cfg = SolverConfig(lm_switch_count=1000)
+    res_d = solve(prob_synth, cfg, schur="dense")
+    res_p = solve(prob_synth, cfg, schur="pairs")
+    assert res_d.iterations == res_p.iterations
+    np.testing.assert_allclose(res_d.final_l2, res_p.final_l2, rtol=1e-9)
+    np.testing.assert_allclose(res_d.cams, res_p.cams, rtol=1e-6, atol=1e-9)
+
+
 @requires_data
 def test_lm_7cams(prob7):
     res = solve(prob7, SolverConfig(lm_switch_count=1000))
