@@ -46,7 +46,9 @@ def assemble_blocks(A, B, ex, cam_idx, pt_idx, n_cams, n_pts, coeff=1.0,
         B = jnp.where(m, B, 0.0)
         ex = jnp.where(valid[:, None], ex, 0.0)
     G = jnp.concatenate([A, B, ex[:, :, None]], axis=-1)  # [O,2,10]
-    Gram = jnp.einsum("oki,okj->oij", G, G)               # [O,10,10]
+    Gram = jnp.einsum(
+        "oki,okj->oij", G, G, precision=jax.lax.Precision.HIGHEST
+    )                                                     # [O,10,10]
 
     W = coeff * Gram[:, 0:6, 6:9]                         # A^T B
     # camera side: U | ga packed as [O,42], one bucket reduction

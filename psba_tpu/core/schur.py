@@ -53,7 +53,10 @@ def inv3x3(V):
 
 def y_blocks(W, Vinv, pt_idx):
     """Y_o = W_o Vinv_{i(o)}  [O,6,3] (kern_compute_Yblks)."""
-    return jnp.einsum("oij,ojk->oik", W, Vinv[pt_idx])
+    return jnp.einsum(
+        "oij,ojk->oik", W, Vinv[pt_idx],
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None,
@@ -73,7 +76,8 @@ def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None,
         off = schur_off_pallas(Y, W, pair_o1, pair_o2, pair_bucket, C)
     else:
         contrib = jnp.einsum(
-            "nij,nkj->nik", Y[pair_o1], W[pair_o2]
+            "nij,nkj->nik", Y[pair_o1], W[pair_o2],
+            precision=jax.lax.Precision.HIGHEST,
         )  # [N,6,6]
         # bucket reduction: MXU one-hot matmul on TPU, scatter elsewhere;
         # padded pair entries carry bucket C*C and contribute nothing
@@ -108,18 +112,33 @@ def stack_blocks(W, blk_idx):
     return ZW.reshape(C, P, 6, 3)
 
 
+# True-f32 contractions: TPU dot_general defaults to bf16 multiplies
+# (~4e-3 relative error in S — it caps how far the f32 fast path can
+# converge); HIGHEST keeps full input precision for ~25% more matmul time
+# on a matmul that is a fraction of the iteration.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def schur_S_dense(U, ZW, Vinv, psum=None):
     """Dense-stacked Schur assembly: S = blockdiag(U) - ZY @ ZW^T.
 
     Same math as schur_S (kern_compute_S, CL_files/compute_S.cl:40-56) in
     one [6C, 3P] x [3P, 6C] MXU contraction: the p-axis sum enumerates
     exactly the covisibility pairs, because unseen (c, p) cells are zero.
-    Also returns ZY [C, P, 6, 3] (Y_o = W_o Vinv stacked), reused by
-    reduced_rhs_dense. `U` must be mesh-global and damped; `psum` reduces
-    the shard-local off-diagonal sum."""
-    C = ZW.shape[0]
-    ZY = jnp.einsum("cpij,pjk->cpik", ZW, Vinv)
-    off = jnp.einsum("cpim,dpjm->cidj", ZY, ZW)    # [C,6,C,6]
+    ZY = ZW Vinv is built as three broadcast FMAs on the VPU (2x faster
+    and exactly-f32 vs a batched-tiny-matmul lowering). Also returns ZY
+    [C, P, 6, 3], reused by reduced_rhs_dense. `U` must be mesh-global and
+    damped; `psum` reduces the shard-local off-diagonal sum."""
+    C, P = ZW.shape[0], ZW.shape[1]
+    Vb = Vinv[None, :, None]                       # [1,P,1,3,3]
+    ZY = (
+        ZW[..., 0:1] * Vb[..., 0, :]
+        + ZW[..., 1:2] * Vb[..., 1, :]
+        + ZW[..., 2:3] * Vb[..., 2, :]
+    )                                              # [C,P,6,3]
+    a = ZY.transpose(0, 2, 1, 3).reshape(C * 6, P * 3)
+    b = ZW.transpose(0, 2, 1, 3).reshape(C * 6, P * 3)
+    off = jnp.matmul(a, b.T, precision=_PREC).reshape(C, 6, C, 6)
     if psum is not None:
         off = psum(off)
     S = -off
@@ -130,7 +149,7 @@ def schur_S_dense(U, ZW, Vinv, psum=None):
 def reduced_rhs_dense(ga, gb, ZY, psum=None):
     """ea = ga - sum_p ZY[:, p] gb_p  [C,6] (kern_compute_ea on the dense
     stacked layout). `ga` must be mesh-global."""
-    term = jnp.einsum("cpij,pj->ci", ZY, gb)
+    term = jnp.einsum("cpij,pj->ci", ZY, gb, precision=_PREC)
     if psum is not None:
         term = psum(term)
     return ga - term
@@ -139,8 +158,8 @@ def reduced_rhs_dense(ga, gb, ZY, psum=None):
 def back_substitute_dense(gb, ZW, Vinv, dpa):
     """eb_i = gb_i - sum_c ZW[c, i]^T dpa_c;  dpb_i = Vinv_i eb_i
     (kern_compute_eb + kern_compute_dpb on the dense stacked layout)."""
-    eb = gb - jnp.einsum("cpij,ci->pj", ZW, dpa)
-    dpb = jnp.einsum("pij,pj->pi", Vinv, eb)
+    eb = gb - jnp.einsum("cpij,ci->pj", ZW, dpa, precision=_PREC)
+    dpb = jnp.einsum("pij,pj->pi", Vinv, eb, precision=_PREC)
     return eb, dpb
 
 
@@ -148,7 +167,9 @@ def reduced_rhs(ga, gb, Y, cam_idx, pt_idx, n_cams, psum=None):
     """ea_j = ga_j - sum_{o: cam(o)=j} Y_o gb_{i(o)}  [C,6]
     (kern_compute_ea). `ga` must be mesh-global; the observation sum is
     shard-local until `psum`."""
-    contrib = jnp.einsum("oij,oj->oi", Y, gb[pt_idx])  # [O,6]
+    contrib = jnp.einsum(
+        "oij,oj->oi", Y, gb[pt_idx], precision=jax.lax.Precision.HIGHEST
+    )  # [O,6]
     term = indexed_sum(contrib, cam_idx, n_cams)
     if psum is not None:
         term = psum(term)
@@ -158,7 +179,11 @@ def reduced_rhs(ga, gb, Y, cam_idx, pt_idx, n_cams, psum=None):
 def back_substitute(gb, W, Vinv, dpa, cam_idx, pt_idx, n_pts):
     """eb_i = gb_i - sum_{o: pt(o)=i} W_o^T dpa_{j(o)};  dpb_i = Vinv_i eb_i
     (kern_compute_eb + kern_compute_dpb). Returns (eb [P,3], dpb [P,3])."""
-    wt_dpa = jnp.einsum("oij,oi->oj", W, dpa[cam_idx])  # [O,3]
+    wt_dpa = jnp.einsum(
+        "oij,oi->oj", W, dpa[cam_idx], precision=jax.lax.Precision.HIGHEST
+    )  # [O,3]
     eb = gb - jax.ops.segment_sum(wt_dpa, pt_idx, num_segments=n_pts)
-    dpb = jnp.einsum("pij,pj->pi", Vinv, eb)
+    dpb = jnp.einsum(
+        "pij,pj->pi", Vinv, eb, precision=jax.lax.Precision.HIGHEST
+    )
     return eb, dpb

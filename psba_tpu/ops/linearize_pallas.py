@@ -200,6 +200,8 @@ def _linearize_kernel(kq0_ref, obs_ref, camv_ref, X_ref, camidx_ref,
     part = jax.lax.dot_general(
         cam_pack, onehot, (((1,), (1,)), ((), ())),
         preferred_element_type=cam_pack.dtype,
+        precision=jax.lax.Precision.HIGHEST,  # keep f32 multiplies: the
+        # MXU default rounds the data operand to bf16 (~4e-3 rel in U/ga)
     )                                                     # [42, C]
     l2_part = jnp.sum(mexu * exu + mexv * exv)
 
@@ -285,8 +287,10 @@ def linearize_pallas(K, q0, cams, pts, obs, cam_idx, pt_idx, valid,
 
     C = n_cams
     grid = (O_pad // T,)
+    # index maps must return i32 scalars: a Python 0 traces as i64 under
+    # jax_enable_x64 and Mosaic rejects the mixed (i64, i32) index tuple
     row_spec = lambda k: pl.BlockSpec(
-        (k, T), lambda i: (0, i), memory_space=pltpu.VMEM
+        (k, T), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(_linearize_kernel, n_cams=C, clamp=clamp)
     ex_t, A_t, B_t, W_t, ptpack_t, camred, l2 = pl.pallas_call(
@@ -297,9 +301,9 @@ def linearize_pallas(K, q0, cams, pts, obs, cam_idx, pt_idx, valid,
         out_specs=[
             row_spec(2), row_spec(12), row_spec(6), row_spec(18),
             row_spec(12),
-            pl.BlockSpec((42, C), lambda i: (0, 0),
+            pl.BlockSpec((42, C), lambda i: (jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 1), lambda i: (jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -344,8 +348,10 @@ def residual_l2_pallas(K, q0, cams, pts, obs, cam_idx, pt_idx, valid,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, O_pad), 1)
         valid_t = jnp.where(lane < O, valid_t, 0.0)
 
+    # index maps must return i32 scalars: a Python 0 traces as i64 under
+    # jax_enable_x64 and Mosaic rejects the mixed (i64, i32) index tuple
     row_spec = lambda k: pl.BlockSpec(
-        (k, T), lambda i: (0, i), memory_space=pltpu.VMEM
+        (k, T), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM
     )
     ex_t, l2 = pl.pallas_call(
         functools.partial(_residual_kernel, clamp=clamp),
@@ -354,7 +360,7 @@ def residual_l2_pallas(K, q0, cams, pts, obs, cam_idx, pt_idx, valid,
                   row_spec(1)],
         out_specs=[
             row_spec(2),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 1), lambda i: (jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[

@@ -39,6 +39,9 @@ def indexed_sum(data, idx, n_segments, indices_are_sorted=False,
         out = jax.lax.dot_general(
             onehot, flat, (((0,), (0,)), ((), ())),
             preferred_element_type=data.dtype,
+            precision=jax.lax.Precision.HIGHEST,  # the one-hot operand is
+            # exact either way; HIGHEST keeps the data operand at f32
+            # instead of the MXU's default bf16 rounding
         )
         return out.reshape((n_segments,) + data.shape[1:])
     return jax.ops.segment_sum(

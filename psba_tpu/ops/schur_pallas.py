@@ -46,6 +46,8 @@ def _pair_kernel(y1_ref, w2_ref, bucket_ref, out_ref, *, bb):
     part = jax.lax.dot_general(
         prod, onehot, (((1,), (1,)), ((), ())),
         preferred_element_type=prod.dtype,
+        precision=jax.lax.Precision.HIGHEST,  # f32 multiplies (bf16
+        # default would round the pair products to ~4e-3 rel)
     )                                                      # [36, bb]
 
     @pl.when(pl.program_id(1) == 0)
@@ -84,15 +86,16 @@ def schur_off_pallas(Y, W, pair_o1, pair_o2, pair_bucket, n_cams):
     CC_pad = ((CC + bb - 1) // bb) * bb
     grid = (CC_pad // bb, N_pad // T)
 
+    # i32 index maps (a Python 0 traces as i64 under jax_enable_x64)
     row_spec = lambda k: pl.BlockSpec(
-        (k, T), lambda b, i: (0, i), memory_space=pltpu.VMEM
+        (k, T), lambda b, i: (jnp.int32(0), i), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         functools.partial(_pair_kernel, bb=bb),
         grid=grid,
         in_specs=[row_spec(18), row_spec(18), row_spec(1)],
         out_specs=pl.BlockSpec(
-            (36, bb), lambda b, i: (0, b), memory_space=pltpu.VMEM
+            (36, bb), lambda b, i: (jnp.int32(0), b), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((36, CC_pad), f32),
         interpret=_interpret(),

@@ -36,7 +36,9 @@ def test_schur_encodings_agree(prob_synth):
     cfg = SolverConfig(lm_switch_count=1000)
     res_d = solve(prob_synth, cfg, schur="dense")
     res_p = solve(prob_synth, cfg, schur="pairs")
-    assert res_d.iterations == res_p.iterations
+    # the final ||dp|| stop-test crossing may shift by one iteration:
+    # dp -> 0 at the optimum puts the comparison at roundoff
+    assert abs(res_d.iterations - res_p.iterations) <= 1
     np.testing.assert_allclose(res_d.final_l2, res_p.final_l2, rtol=1e-9)
     np.testing.assert_allclose(res_d.cams, res_p.cams, rtol=1e-6, atol=1e-9)
 
