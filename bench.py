@@ -1,15 +1,23 @@
 """Benchmark driver — prints ONE JSON line.
 
-Metric: mean LM-iteration wall-clock on Trafalgar-21-11315 (the reference's
-active dataset, PSBA/main.cpp:61-62) on the available accelerator, f32 fast
-path, fixed 10-iteration LM run with early-stop disabled so every run does
-identical work (jacobian + U/V/W/g assembly + Schur + Cholesky solve +
-trial step per iteration, SURVEY.md §3.2).
+Metric: device wall-clock per LM iteration on Trafalgar-21-11315 (the
+reference's active dataset, PSBA/main.cpp:61-62), f32 fast path. Each
+iteration does the full pipeline: jacobian + U/V/W/g assembly + Schur
+reduction + Cholesky solve + trial step (SURVEY.md §3.2). Early stop is
+disabled so every run does identical work.
 
-`vs_baseline` compares against bench_baseline.json (the first recorded TPU
-measurement of this framework — the OpenCL reference publishes no numbers
-and only builds on Windows/MSVC, BASELINE.md). >1.0 means faster than the
-recorded baseline.
+Methodology: the per-iteration time is the MARGINAL cost
+(t(N2) - t(N1)) / (N2 - N1) between two fixed-iteration runs of the same
+jitted solver. This isolates device compute from the fixed per-dispatch
+cost (host->device RPC latency, which through a tunneled TPU is ~30 ms —
+an environment artifact, not solver time). The fixed-overhead-amortized
+number is reported in `extra` for reference.
+
+`vs_baseline` compares against bench_baseline.json — the same marginal
+measurement of this framework's first end-to-end TPU solver (commit
+ade29da), re-measured with this exact script's method. The OpenCL
+reference publishes no numbers and only builds on Windows/MSVC
+(BASELINE.md). >1.0 means faster than the recorded baseline.
 """
 
 import json
@@ -17,7 +25,20 @@ import os
 import sys
 import time
 
-import numpy as np
+N1, N2 = 2, 12
+REPS = 5
+
+
+def _timed_run(run, pa, state0, cfg):
+    out = run(pa, state0, cfg)  # compile + warm
+    assert int(out.itno) == cfg.max_iters
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = run(pa, state0, cfg)
+        _sync = float(out.ex_l2)
+        ts.append(time.perf_counter() - t0)
+    return min(ts), out
 
 
 def main():
@@ -34,32 +55,24 @@ def main():
         f"{data}/Trafalgar-21-11315-pts.txt",
     )
 
-    n_iters = 10
-    cfg = SolverConfig(
-        max_iters=n_iters,
-        stop_thresh=1e-30,       # no early stop: fixed work per run
-        lm_switch_count=10_000,  # stay in LM
-    )
     pa = ProblemArrays.from_problem(prob, dtype=jnp.float32)
     cams = jnp.asarray(prob.cams, jnp.float32)
     pts = jnp.asarray(prob.pts, jnp.float32)
     state0 = OptState.init(pa, cams, pts)
 
     run = jax.jit(lm_run, static_argnames=("cfg",))
-    # compile + warmup
-    out = run(pa, state0, cfg)
-    out.ex_l2.block_until_ready()
-    assert int(out.itno) == n_iters, f"expected {n_iters}, got {int(out.itno)}"
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = run(pa, state0, cfg)
-        out.ex_l2.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    lm_iter_ms = best / n_iters * 1e3
-    obs_per_s = prob.n_obs * n_iters / best
+    def cfg_for(n):
+        # no early stop / no LM->TR switch: fixed work per run
+        return SolverConfig(
+            max_iters=n, stop_thresh=1e-30, lm_switch_count=10_000
+        )
+
+    t1, _ = _timed_run(run, pa, state0, cfg_for(N1))
+    t2, out = _timed_run(run, pa, state0, cfg_for(N2))
+    lm_iter_ms = (t2 - t1) / (N2 - N1) * 1e3
+    obs_per_s = prob.n_obs / (lm_iter_ms * 1e-3)
+    amortized_ms = t2 / N2 * 1e3
 
     base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs_baseline = 1.0
@@ -79,7 +92,8 @@ def main():
             "n_obs": prob.n_obs,
             "device": str(jax.devices()[0]),
             "dtype": "float32",
-            "final_l2_after_10it": float(out.ex_l2),
+            "amortized_iter_ms_incl_dispatch": round(amortized_ms, 3),
+            "final_l2_after_12it": float(out.ex_l2),
         },
     }))
     return 0

@@ -1,0 +1,112 @@
+"""Per-stage TPU device-time profile of one LM iteration's compute pieces.
+
+Not part of the benchmark contract (bench.py is); this is a developer tool
+to find the next hotspot. Per-dispatch RPC overhead (tens of ms through a
+tunneled device) swamps single-op timing, so each stage is measured by the
+MARGINAL method: run it N1 and N2 times inside an on-device `lax.fori_loop`
+and report (t(N2) - t(N1)) / (N2 - N1). A data-dependent perturbation is
+threaded through the loop carry so XLA cannot hoist the body.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from psba_tpu.core.hessian import damp_uv
+from psba_tpu.core.linalg import spd_solve
+from psba_tpu.core.schur import (
+    back_substitute_dense,
+    inv3x3,
+    reduced_rhs_dense,
+    schur_S_dense,
+    stack_blocks,
+)
+from psba_tpu.io import load_problem
+from psba_tpu.ops.linearize_pallas import linearize_pallas, residual_l2_pallas
+from psba_tpu.solvers.types import ProblemArrays
+
+N1, N2 = 4, 24
+
+
+def marginal_ms(make_body, seed):
+    """make_body(eps) -> scalar; eps is a data-dependent f32 scalar."""
+
+    def timed(n):
+        def loop(eps):
+            def body(_, e):
+                return make_body(e) * 1e-30 + eps
+            return jax.lax.fori_loop(0, n, body, eps)
+
+        fn = jax.jit(loop)
+        out = fn(seed)
+        float(out)  # warm + sync
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(seed))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (timed(N2) - timed(N1)) / (N2 - N1) * 1e3
+
+
+def main():
+    data = "/root/reference/data"
+    prob = load_problem(
+        f"{data}/Trafalgar-21-11315-cams.txt",
+        f"{data}/Trafalgar-21-11315-pts.txt",
+    )
+    dtype = jnp.float32
+    pa = ProblemArrays.from_problem(prob, dtype=dtype)
+    cams = jnp.asarray(prob.cams, dtype)
+    pts = jnp.asarray(prob.pts, dtype)
+    C, P = pa.n_cams, pts.shape[0]
+    seed = jnp.asarray(0.0, dtype)
+
+    # materialize intermediates once
+    ex, l2, U, V, W, ga, gb, _, _ = linearize_pallas(
+        pa.K, pa.q0, cams, pts, pa.obs, pa.cam_idx, pa.pt_idx, pa.valid, C, P
+    )
+    ZW = stack_blocks(W, pa.blk_idx)
+    mu = jnp.asarray(1e-3, dtype)
+    U_d, V_d = damp_uv(U, V, mu)
+    Vinv, _ = inv3x3(V_d)
+    S, ZY = schur_S_dense(U_d, ZW, Vinv)
+    ea = reduced_rhs_dense(ga, gb, ZY)
+    dpa_flat, ok = spd_solve(S, ea.reshape(-1))
+    dpa = dpa_flat.reshape(C, 6)
+
+    stages = {
+        "linearize_pallas": lambda e: linearize_pallas(
+            pa.K, pa.q0, cams + e, pts, pa.obs, pa.cam_idx, pa.pt_idx,
+            pa.valid, C, P,
+        )[1],
+        "residual_l2_pallas": lambda e: residual_l2_pallas(
+            pa.K, pa.q0, cams + e, pts, pa.obs, pa.cam_idx, pa.pt_idx,
+            pa.valid,
+        )[1],
+        "stack_blocks": lambda e: jnp.sum(stack_blocks(W + e, pa.blk_idx)),
+        "inv3x3": lambda e: jnp.sum(inv3x3(V_d + e)[0]),
+        "schur_S_dense": lambda e: jnp.sum(
+            schur_S_dense(U_d, ZW + e, Vinv)[0]
+        ),
+        "reduced_rhs_dense": lambda e: jnp.sum(
+            reduced_rhs_dense(ga + e, gb, ZY)
+        ),
+        "spd_solve": lambda e: jnp.sum(spd_solve(S, ea.reshape(-1) + e)[0]),
+        "back_substitute": lambda e: jnp.sum(
+            back_substitute_dense(gb, ZW, Vinv, dpa + e)[1]
+        ),
+        "damp_uv": lambda e: jnp.sum(damp_uv(U, V, mu + e)[0]),
+    }
+    total = 0.0
+    for name, body in stages.items():
+        ms = marginal_ms(body, seed)
+        total += ms
+        print(f"{name:22s} {ms:8.4f} ms")
+    print(f"{'SUM':22s} {total:8.4f} ms")
+
+
+if __name__ == "__main__":
+    main()
