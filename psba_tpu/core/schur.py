@@ -94,22 +94,25 @@ def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None,
 
 
 def stack_blocks(W, blk_idx):
-    """Stack per-observation W blocks into the dense camera-major layout
-    ZW [C, P, 6, 3]: ZW[c, p] = W_o for the observation of point p in
-    camera c, zeros where unseen.
+    """Stack per-observation W blocks into the dense matmul-ready layout
+    ZW [C, 6, P, 3]: ZW[c, :, p, :] = W_o for the observation of point p
+    in camera c, zeros where unseen; `ZW.reshape(6C, 3P)` is directly the
+    stacked off-diagonal factor.
 
     One row gather driven by the blk_idx table (the reference's dense
     (point x cam) -> obs lookup, misc.cpp:190-199, transposed); unseen
     cells index the appended zero row. On TPU this replaces every
     scatter/segment/one-hot reduction downstream: S, ea, and eb all become
-    dense MXU contractions against ZW (see schur_S_dense)."""
+    dense MXU contractions against ZW (see schur_S_dense). The row-major
+    gather result is transposed here, once per linearization — the Schur
+    retry loop then runs transpose-free."""
     O = W.shape[0]
     C, P = blk_idx.shape
     W_pad = jnp.concatenate(
         [W.reshape(O, 18), jnp.zeros((1, 18), W.dtype)], axis=0
     )
     ZW = jnp.take(W_pad, blk_idx.reshape(-1), axis=0, mode="clip")
-    return ZW.reshape(C, P, 6, 3)
+    return ZW.reshape(C, P, 6, 3).transpose(0, 2, 1, 3)
 
 
 # True-f32 contractions: TPU dot_general defaults to bf16 multiplies
@@ -125,19 +128,21 @@ def schur_S_dense(U, ZW, Vinv, psum=None):
     Same math as schur_S (kern_compute_S, CL_files/compute_S.cl:40-56) in
     one [6C, 3P] x [3P, 6C] MXU contraction: the p-axis sum enumerates
     exactly the covisibility pairs, because unseen (c, p) cells are zero.
-    ZY = ZW Vinv is built as three broadcast FMAs on the VPU (2x faster
-    and exactly-f32 vs a batched-tiny-matmul lowering). Also returns ZY
-    [C, P, 6, 3], reused by reduced_rhs_dense. `U` must be mesh-global and
-    damped; `psum` reduces the shard-local off-diagonal sum."""
-    C, P = ZW.shape[0], ZW.shape[1]
-    Vb = Vinv[None, :, None]                       # [1,P,1,3,3]
+    ZW arrives in the matmul-ready [C, 6, P, 3] layout (stack_blocks), so
+    ZY = ZW Vinv — three broadcast FMAs on the VPU (2x faster and
+    exactly-f32 vs a batched-tiny-matmul lowering) — is born in that
+    layout too and the damping-retry loop does no transposes at all. Also
+    returns ZY [C, 6, P, 3], reused by reduced_rhs_dense. `U` must be
+    mesh-global and damped; `psum` reduces the shard-local sum."""
+    C, P = ZW.shape[0], ZW.shape[2]
+    Vb = Vinv[None, None]                          # [1,1,P,3,3]
     ZY = (
         ZW[..., 0:1] * Vb[..., 0, :]
         + ZW[..., 1:2] * Vb[..., 1, :]
         + ZW[..., 2:3] * Vb[..., 2, :]
-    )                                              # [C,P,6,3]
-    a = ZY.transpose(0, 2, 1, 3).reshape(C * 6, P * 3)
-    b = ZW.transpose(0, 2, 1, 3).reshape(C * 6, P * 3)
+    )                                              # [C,6,P,3]
+    a = ZY.reshape(C * 6, P * 3)
+    b = ZW.reshape(C * 6, P * 3)
     off = jnp.matmul(a, b.T, precision=_PREC).reshape(C, 6, C, 6)
     if psum is not None:
         off = psum(off)
@@ -147,18 +152,18 @@ def schur_S_dense(U, ZW, Vinv, psum=None):
 
 
 def reduced_rhs_dense(ga, gb, ZY, psum=None):
-    """ea = ga - sum_p ZY[:, p] gb_p  [C,6] (kern_compute_ea on the dense
-    stacked layout). `ga` must be mesh-global."""
-    term = jnp.einsum("cpij,pj->ci", ZY, gb, precision=_PREC)
+    """ea = ga - sum_p ZY[:, :, p] gb_p  [C,6] (kern_compute_ea on the
+    dense stacked layout). `ga` must be mesh-global."""
+    term = jnp.einsum("cipj,pj->ci", ZY, gb, precision=_PREC)
     if psum is not None:
         term = psum(term)
     return ga - term
 
 
 def back_substitute_dense(gb, ZW, Vinv, dpa):
-    """eb_i = gb_i - sum_c ZW[c, i]^T dpa_c;  dpb_i = Vinv_i eb_i
+    """eb_i = gb_i - sum_c ZW[c, :, i]^T dpa_c;  dpb_i = Vinv_i eb_i
     (kern_compute_eb + kern_compute_dpb on the dense stacked layout)."""
-    eb = gb - jnp.einsum("cpij,ci->pj", ZW, dpa, precision=_PREC)
+    eb = gb - jnp.einsum("cipj,ci->pj", ZW, dpa, precision=_PREC)
     dpb = jnp.einsum("pij,pj->pi", Vinv, eb, precision=_PREC)
     return eb, dpb
 

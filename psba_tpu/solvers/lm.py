@@ -281,8 +281,10 @@ def lm_run(
             rho=jnp.asarray(jnp.nan, dtype),
         )
         t = jax.lax.while_loop(inner_cond, inner_body, t0)
+        # retry budget exhausted without acceptance -> ERR; an accept on
+        # the final allowed try is still a normal accepted iteration
         flag = jnp.where(
-            t.tries >= cfg.max_inner,
+            (t.tries >= cfg.max_inner) & ~t.accepted,
             jnp.int32(CC.ITER_ERR),
             t.flag,
         )
