@@ -117,6 +117,8 @@ def main(argv=None):
         )
     if args.verbose:
         print(res.format_history(), file=sys.stderr)
+        if res.phase_report:
+            print(res.phase_report, file=sys.stderr)
 
     if args.out_cams:
         from psba_tpu.io.sba_text import write_cams

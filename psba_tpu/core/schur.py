@@ -26,21 +26,80 @@ import jax.numpy as jnp
 from psba_tpu.ops.reduce import indexed_sum
 
 
+def _pivoted_det3(V):
+    """Batched 3x3 determinant via Gaussian elimination with partial
+    pivoting — the reference's Vinv fallback determinant
+    (compute_Vinv.cl:31-60). Two deviations, both numerical fixes over the
+    reference: pivots are selected by magnitude (the reference compares
+    signed first-column entries, compute_Vinv.cl:32-34) and row-swap sign
+    flips are tracked (the reference drops them, so its fallback
+    determinant can carry the wrong sign)."""
+    a = V
+
+    def _swap_rows(a, p, r0, r1):
+        # swap rows r0 <-> r1 where p (bool [...]) holds
+        sel = p[..., None]
+        row_a, row_b = a[..., r0, :], a[..., r1, :]
+        a = a.at[..., r0, :].set(jnp.where(sel, row_b, row_a))
+        a = a.at[..., r1, :].set(jnp.where(sel, row_a, row_b))
+        return a
+
+    sign = jnp.ones(V.shape[:-2], V.dtype)
+    c0 = jnp.abs(a[..., :, 0])
+    p1 = c0[..., 1] > jnp.maximum(c0[..., 0], c0[..., 2])
+    p2 = (~p1) & (c0[..., 2] > c0[..., 0])
+    a = _swap_rows(a, p1, 0, 1)
+    a = _swap_rows(a, p2, 0, 2)
+    sign = jnp.where(p1 | p2, -sign, sign)
+
+    a00 = a[..., 0, 0]
+    safe00 = jnp.where(a00 != 0.0, a00, 1.0)
+    l1 = jnp.where(a00 != 0.0, a[..., 1, 0] / safe00, 0.0)
+    l2 = jnp.where(a00 != 0.0, a[..., 2, 0] / safe00, 0.0)
+    b11 = a[..., 1, 1] - l1 * a[..., 0, 1]
+    b12 = a[..., 1, 2] - l1 * a[..., 0, 2]
+    b21 = a[..., 2, 1] - l2 * a[..., 0, 1]
+    b22 = a[..., 2, 2] - l2 * a[..., 0, 2]
+
+    swap2 = jnp.abs(b21) > jnp.abs(b11)
+    t11 = jnp.where(swap2, b21, b11)
+    t12 = jnp.where(swap2, b22, b12)
+    t21 = jnp.where(swap2, b11, b21)
+    t22 = jnp.where(swap2, b12, b22)
+    sign = jnp.where(swap2, -sign, sign)
+
+    safe11 = jnp.where(t11 != 0.0, t11, 1.0)
+    c22 = t22 - jnp.where(t11 != 0.0, t21 / safe11, 0.0) * t12
+    return sign * a00 * t11 * c22
+
+
 def inv3x3(V):
     """Batched closed-form symmetric 3x3 inverse via cofactors.
 
-    Mirrors kern_compute_Vinv's cofactor path (compute_Vinv.cl:28-76) but
-    computes the full inverse (the reference stores only the lower triangle).
-    Returns (Vinv, ok) where ok is False when any determinant magnitude
-    falls below 1e-16 (the reference's pivot-fallback threshold)."""
+    Mirrors kern_compute_Vinv (compute_Vinv.cl): the cofactor path divides
+    the adjugate by the closed-form determinant; blocks whose determinant
+    magnitude falls below 1e-16 instead divide by the partial-pivot
+    Gaussian determinant (the reference's fallback, compute_Vinv.cl:28-76),
+    which survives the catastrophic cancellation that kills the closed
+    form near (but not at) singularity. Computes the full inverse (the
+    reference stores only the lower triangle).
+
+    Returns (Vinv, ok): ok is False when any block is singular even after
+    the pivoted fallback (zero / non-finite determinant) — callers treat it
+    like a Cholesky failure (mu/lambda escalation; the reference instead
+    lets the garbage flow, levmar.cpp:127)."""
     a, b, c = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
     d, e, f = V[..., 1, 1], V[..., 1, 2], V[..., 2, 2]
     co00 = d * f - e * e
     co01 = c * e - b * f
     co02 = b * e - c * d
     det = a * co00 + b * co01 + c * co02
-    ok = jnp.all(jnp.abs(det) >= 1e-16)
-    inv_det = 1.0 / det
+    need_fallback = jnp.abs(det) < 1e-16
+    det_piv = _pivoted_det3(V)
+    det_use = jnp.where(need_fallback, det_piv, det)
+    blk_ok = (det_use != 0.0) & jnp.isfinite(det_use)
+    ok = jnp.all(blk_ok)
+    inv_det = jnp.where(blk_ok, 1.0 / jnp.where(blk_ok, det_use, 1.0), 0.0)
     co11 = a * f - c * c
     co12 = b * c - a * e
     co22 = a * d - b * b

@@ -26,5 +26,15 @@ class MeshCtx(NamedTuple):
     def pmax(self, x):
         return jax.lax.pmax(x, self.axis) if self.axis else x
 
+    def pand(self, x):
+        """Logical AND of a boolean scalar across shards (any shard's
+        local failure flag fails the whole mesh-wide step)."""
+        if not self.axis:
+            return x
+        import jax.numpy as jnp
+
+        return jax.lax.psum(jnp.logical_not(x).astype(jnp.int32),
+                            self.axis) == 0
+
 
 NO_MESH = MeshCtx(None)

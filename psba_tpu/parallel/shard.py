@@ -190,10 +190,14 @@ def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
         blk_idx=P(None, AXIS) if dense else None,  # point axis is dim 1
         valid=P(AXIS),
     )
+    # history rows are built entirely from psum'd (replicated) scalars, so
+    # the capture buffer is replicated across shards
+    hist_spec = P() if cfg.record_history else None
     state_spec = OptState(
         cams=P(), pts=P(AXIS), ex=P(AXIS), ex_l2=P(), itno=P(), flag=P(),
-        history=None,  # per-iteration capture unused in the sharded path
+        history=hist_spec,
     )
+    init_spec = state_spec._replace(history=None)  # init has no buffer yet
 
     def smap(f, in_specs, out_specs):
         return jax.jit(shard_map(
@@ -210,7 +214,7 @@ def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
     def tr_fn(pa, state):
         return tr_run(pa, state, cfg, ctx=ctx)
 
-    init_s = smap(init_fn, (pa_spec, P(), P(AXIS)), state_spec)
+    init_s = smap(init_fn, (pa_spec, P(), P(AXIS)), init_spec)
     lm_s = smap(lm_fn, (pa_spec, state_spec), state_spec)
     tr_s = smap(tr_fn, (pa_spec, state_spec), state_spec)
     return pa_global, cams0, pts0, init_s, lm_s, tr_s
@@ -231,6 +235,11 @@ def solve_sharded(prob: BAProblem, cfg: SolverConfig | None = None,
     )
 
     state = init_s(pa, cams0, pts0)
+    if cfg.record_history:
+        dt = state.cams.dtype
+        state = state._replace(
+            history=jnp.full((cfg.max_iters, 6), jnp.nan, dt)
+        )
     initial_l2 = float(state.ex_l2)
     t0 = time.perf_counter()
     phase = start
@@ -266,4 +275,7 @@ def solve_sharded(prob: BAProblem, cfg: SolverConfig | None = None,
         iterations=int(state.itno), flag=flag,
         flag_name=CC.FLAG_NAMES.get(flag, str(flag)),
         wall_s=wall, phases=phases,
+        history=(
+            None if state.history is None else np.asarray(state.history)
+        ),
     )

@@ -200,31 +200,3 @@ def visibility_mask(problem: BAProblem) -> np.ndarray:
     return m
 
 
-def pad_observations(problem: BAProblem, multiple: int) -> "BAProblem":
-    """Pad the observation axis to a multiple (for even device sharding).
-
-    Padded observations reference camera 0 / point 0 with zero weight by
-    duplicating observation 0's indices and setting the measurement so the
-    padded residual is ... NOT zero in general; instead callers must mask.
-    To keep every downstream op mask-free, padding duplicates observation 0
-    and carries `obs_weight` semantics via a separate validity count. This
-    helper is used only by the distributed path, which weights residual
-    blocks by `valid = arange(O_pad) < n_obs`.
-    """
-    O = problem.n_obs
-    O_pad = ((O + multiple - 1) // multiple) * multiple
-    if O_pad == O:
-        return problem
-    pad = O_pad - O
-    rep = lambda a: np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
-    return dataclasses.replace(
-        problem,
-        obs=rep(problem.obs),
-        cam_idx=rep(problem.cam_idx),
-        pt_idx=np.concatenate(
-            [problem.pt_idx,
-             np.full(pad, problem.n_pts - 1, dtype=problem.pt_idx.dtype)]
-        ),
-        obs_cov=None if problem.obs_cov is None else rep(problem.obs_cov),
-        pair_o1=None, pair_o2=None, pair_bucket=None, blk_idx=None,
-    )

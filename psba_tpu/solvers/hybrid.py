@@ -37,6 +37,8 @@ class SolveResult:
     phases: list  # [(phase, itno_after, flag_after)]
     history: np.ndarray | None = None  # [iters, 6] per-iteration rows
     # (itno, err, rho, mu|lambda, delta, |p|) when record_history
+    phase_report: str = ""  # per-phase wall-clock report (the reference's
+    # clock() accumulator table, main.cpp:220-227)
 
     def format_history(self) -> str:
         """Reference-style per-iteration progress lines
@@ -116,12 +118,16 @@ def solve(
     initial_l2 = float(state.ex_l2)
     n_obs = problem.n_obs
 
+    from psba_tpu.utils.timing import PhaseTimers
+
+    timers = PhaseTimers()
     t0 = time.perf_counter()
     phases = []
     while True:
         runner = lm if phase == "lm" else tr
-        state = runner(pa, state, cfg)
-        flag = int(state.flag)
+        with timers.phase(phase):
+            state = runner(pa, state, cfg)
+            flag = int(state.flag)
         phases.append((phase, int(state.itno), flag))
         next_phase = None
         if phase == "lm" and flag == CC.ITER_TURN_TO_TR:
@@ -158,8 +164,9 @@ def solve(
                 clamp=cfg.clamp_quat,
             )._replace(itno=state.itno)
             lm64 = jax.jit(lm_run, static_argnames=("cfg",))
-            state = lm64(pa64, state64, cfg64)
-            flag = int(state.flag)
+            with timers.phase("lm64"):
+                state = lm64(pa64, state64, cfg64)
+                flag = int(state.flag)
             phases.append(("lm64", int(state.itno), flag))
     state.ex_l2.block_until_ready()
     wall = time.perf_counter() - t0
@@ -180,4 +187,5 @@ def solve(
         history=(
             None if state.history is None else np.asarray(state.history)
         ),
+        phase_report=timers.report(),
     )

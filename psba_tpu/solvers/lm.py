@@ -163,7 +163,7 @@ def lm_run(
 
         def inner_body(t: _Inner):
             U_d, V_d = damp_uv(U, V, t.mu)
-            Vinv, _vok = inv3x3(V_d)
+            Vinv, vok = inv3x3(V_d)
             if dense:
                 S, ZY = schur_S_dense(U_d, ZW, Vinv, psum=ctx.psum)
                 ea = reduced_rhs_dense(ga, gb, ZY, psum=ctx.psum)
@@ -177,6 +177,9 @@ def lm_run(
                     ga, gb, Y, pa.cam_idx, pa.pt_idx, C, psum=ctx.psum
                 )
             dpa_flat, ok = spd_solve(S, ea.reshape(-1))
+            # a singular V block poisons S/eb/dpb; treat it exactly like a
+            # Cholesky failure -> mu*nu escalation (levmar.cpp:227-244)
+            ok = ok & ctx.pand(vok)
             dpa = dpa_flat.reshape(C, 6)
             if dense:
                 _eb, dpb = back_substitute_dense(gb, ZW, Vinv, dpa)

@@ -215,7 +215,7 @@ def tr_run(
 
         def solve_body(t: _SolveCarry):
             U_d, V_d = damp_uv(U, V, t.lam)
-            Vinv, _ = inv3x3(V_d)
+            Vinv, vok = inv3x3(V_d)
             if dense:
                 S, ZY = schur_S_dense(U_d, ZW, Vinv, psum=ctx.psum)
                 ea = reduced_rhs_dense(g_c, g_p, ZY, psum=ctx.psum)
@@ -229,6 +229,9 @@ def tr_run(
                     g_c, g_p, Y, pa.cam_idx, pa.pt_idx, C, psum=ctx.psum
                 )
             dpa_flat, ok = spd_solve(S, ea.reshape(-1))
+            # singular V blocks poison S; escalate lambda exactly like a
+            # Cholesky failure (compute_PB :341-371)
+            ok = ok & ctx.pand(vok)
             dpa = dpa_flat.reshape(C, 6)
             if dense:
                 _eb, dpb = back_substitute_dense(g_p, ZW, Vinv, dpa)

@@ -173,6 +173,38 @@ def test_inv3x3_singular_flag():
     assert not bool(ok)
 
 
+def test_inv3x3_pivoted_fallback_tiny_det():
+    # |det| = 1e-18 < 1e-16 triggers the pivoted-Gaussian fallback
+    # (compute_Vinv.cl:28-76) on a perfectly invertible matrix; the
+    # fallback must produce the correct inverse and keep ok=True
+    V = np.tile(1e-6 * np.eye(3), (4, 1, 1))
+    V[1] = np.diag([1e-5, 1e-6, 1e-8])
+    M = np.array([[2.0, 1.0, 0.5], [0.3, 1.5, 0.2], [0.1, 0.4, 1.1]])
+    V[2] = 1e-6 * (M @ M.T)
+    # off-diagonal dominant first column: exercises the row swap (and its
+    # sign tracking, which the reference drops) in the fallback determinant
+    V[3] = np.array(
+        [[1e-9, 1e-6, 0.0], [1e-6, 1e-9, 0.0], [0.0, 0.0, 1e-6]]
+    )
+    Vinv, ok = inv3x3(jnp.array(V))
+    assert bool(ok)
+    np.testing.assert_allclose(
+        np.einsum("nij,njk->nik", np.asarray(Vinv), V),
+        np.tile(np.eye(3), (4, 1, 1)), atol=1e-8,
+    )
+
+
+def test_inv3x3_rank_deficient_flags_not_nan():
+    # rank-2 V (B^T B with B 2x3) must flag ok=False and return finite
+    # entries (zeroed inverse) so downstream S stays finite
+    B = np.array([[1.0, 2.0, 3.0], [0.5, -1.0, 2.0]])
+    V = np.stack([B.T @ B, np.eye(3)])
+    Vinv, ok = inv3x3(jnp.array(V))
+    assert not bool(ok)
+    assert np.all(np.isfinite(np.asarray(Vinv)))
+    np.testing.assert_allclose(np.asarray(Vinv)[1], np.eye(3), atol=1e-12)
+
+
 def test_max_diag(prob_synth):
     p = prob_synth
     _, A, B, U, V, W, ga, gb = _setup(p)

@@ -67,3 +67,16 @@ def test_graft_entry_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_history(prob_synth):
+    """--mesh N --verbose must capture per-iteration lines: history rows
+    are built from psum'd (replicated) scalars and returned replicated."""
+    from psba_tpu.parallel.shard import solve_sharded
+
+    cfg = SolverConfig(record_history=True)
+    res = solve_sharded(prob_synth, cfg, n_devices=4)
+    assert res.history is not None
+    rows = res.history[~np.isnan(res.history[:, 0])]
+    assert len(rows) == res.iterations
+    assert "itno=0" in res.format_history()

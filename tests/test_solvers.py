@@ -88,3 +88,31 @@ def test_f32_path(prob_synth):
 
     res = solve(prob_synth, dtype=jnp.float32)
     assert rms_px(res, prob_synth.n_obs) < 0.7
+
+
+def test_tr_recovers_from_singular_v(prob_synth):
+    """A point seen by one camera has rank-2 V (= B^T B, B 2x3): at
+    lambda=0 the Vinv failure must escalate like a Cholesky failure
+    (GMW lambda bootstrap) instead of poisoning S with a garbage inverse
+    (reference fallback: compute_Vinv.cl:28-76)."""
+    import dataclasses
+
+    from tests.oracle import predict_one
+
+    p = prob_synth
+    X_new = np.array([0.3, -0.2, 0.4])
+    uv = predict_one(p.K[0], p.q0[0], p.cams[0, :3], p.cams[0, 3:], X_new)
+    prob = dataclasses.replace(
+        p,
+        pts=np.concatenate([p.pts, X_new[None]]),
+        obs=np.concatenate([p.obs, (uv + 0.3)[None]]),
+        cam_idx=np.concatenate([p.cam_idx, np.array([0], p.cam_idx.dtype)]),
+        pt_idx=np.concatenate(
+            [p.pt_idx, np.array([p.n_pts], p.pt_idx.dtype)]
+        ),
+    )
+    prob.validate()
+    res = solve(prob, SolverConfig(max_iters=10), start="tr")
+    assert np.isfinite(res.final_l2)
+    assert np.all(np.isfinite(res.cams)) and np.all(np.isfinite(res.pts))
+    assert res.final_l2 < res.initial_l2
