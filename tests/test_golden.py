@@ -1,0 +1,86 @@
+"""Golden parity gates.
+
+PARITY_GOLDEN.json pins the f64 hybrid's final reprojection error
+sqrt(L2)/n2Dprojs — the reference driver's verification currency
+(PSBA/main.cpp:216-217) — for every complete bundled dataset
+(regenerate with benchmarks/make_golden.py). These tests replace the
+loose upper bounds of round 1:
+
+  - initial_error to rtol 1e-9 (pure function of the parsed input —
+    an I/O-parity gate),
+  - f64 final_error to rtol 1e-6,
+  - the f32 fast path within 10% of the f64 optimum, and
+  - f32 + f64 polish back to the golden value (rtol 1e-5): the
+    mixed-precision strategy of SURVEY.md §7 must recover full precision.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from psba_tpu import datasets
+from psba_tpu.solvers import SolverConfig
+from psba_tpu.solvers.hybrid import solve
+from tests.conftest import requires_data
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "..",
+                           "PARITY_GOLDEN.json")
+
+with open(GOLDEN_PATH) as f:
+    GOLDEN = json.load(f)
+
+SMALL = ["3cams", "5cams", "7cams", "7camsvarK", "9cams", "9camsvarK",
+         "54cams", "54camsvarK", "54camsvarKD"]
+
+
+@requires_data
+@pytest.mark.parametrize("name", SMALL)
+def test_golden_f64(name):
+    g = GOLDEN[name]
+    prob = datasets.load(name)
+    assert (prob.n_cams, prob.n_pts, prob.n_obs) == (
+        g["n_cams"], g["n_pts"], g["n_obs"]
+    )
+    res = solve(prob, SolverConfig())
+    np.testing.assert_allclose(
+        res.initial_error, g["initial_error"], rtol=1e-9
+    )
+    np.testing.assert_allclose(res.final_error, g["final_error"], rtol=1e-6)
+    assert abs(res.iterations - g["iterations"]) <= 2
+
+
+@requires_data
+def test_golden_f64_trafalgar21():
+    g = GOLDEN["trafalgar21"]
+    res = solve(datasets.load("trafalgar21"), SolverConfig())
+    np.testing.assert_allclose(
+        res.initial_error, g["initial_error"], rtol=1e-9
+    )
+    np.testing.assert_allclose(res.final_error, g["final_error"], rtol=1e-6)
+
+
+@requires_data
+@pytest.mark.parametrize("name", ["7camsvarK", "54camsvarKD"])
+def test_golden_f32_gap(name):
+    """The f32 fast path must land within 10% of the f64 optimum."""
+    import jax.numpy as jnp
+
+    g = GOLDEN[name]
+    res = solve(datasets.load(name), SolverConfig.for_dtype(jnp.float32),
+                dtype=jnp.float32)
+    assert res.final_error <= 1.10 * g["final_error"]
+
+
+@requires_data
+def test_golden_f32_polish_recovers():
+    """f32 run + f64 LM polish must recover the full-precision optimum."""
+    import jax.numpy as jnp
+
+    g = GOLDEN["7camsvarK"]
+    res = solve(
+        datasets.load("7camsvarK"), SolverConfig.for_dtype(jnp.float32),
+        dtype=jnp.float32, polish_iters=15,
+    )
+    np.testing.assert_allclose(res.final_error, g["final_error"], rtol=1e-5)
