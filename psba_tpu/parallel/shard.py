@@ -163,24 +163,28 @@ def _make_mesh(n_devices: int) -> Mesh:
 
 
 def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
-                         dtype=None):
-    """Build (pa_global, lm_fn, tr_fn, init_fn) shard_mapped over `mesh`."""
+                         dtype=None, build_arrays=True):
+    """Build (pa_global, cams0, pts0, init_fn, lm_fn, tr_fn) shard_mapped
+    over `mesh`. With build_arrays=False only the runners are built (the
+    multi-process path materializes its arrays host-locally instead, see
+    psba_tpu.parallel.distributed)."""
     ctx = MeshCtx(AXIS)
-    fdt = (lambda a: jnp.asarray(a)) if dtype is None else (
-        lambda a: jnp.asarray(a, dtype=dtype))
-
     dense = sp.blk is not None
-    opt = lambda a: None if a is None else jnp.asarray(a)
-    pa_global = ProblemArrays(
-        K=fdt(sp.K), q0=fdt(sp.q0), obs=fdt(sp.obs),
-        cam_idx=jnp.asarray(sp.cam_idx), pt_idx=jnp.asarray(sp.pt_idx),
-        pair_o1=opt(sp.pair_o1), pair_o2=opt(sp.pair_o2),
-        pair_bucket=opt(sp.pair_bucket),
-        blk_idx=opt(sp.blk),
-        valid=jnp.asarray(sp.valid),
-    )
-    pts0 = fdt(sp.pts)
-    cams0 = fdt(sp.cams)
+    pa_global = cams0 = pts0 = None
+    if build_arrays:
+        fdt = (lambda a: jnp.asarray(a)) if dtype is None else (
+            lambda a: jnp.asarray(a, dtype=dtype))
+        opt = lambda a: None if a is None else jnp.asarray(a)
+        pa_global = ProblemArrays(
+            K=fdt(sp.K), q0=fdt(sp.q0), obs=fdt(sp.obs),
+            cam_idx=jnp.asarray(sp.cam_idx), pt_idx=jnp.asarray(sp.pt_idx),
+            pair_o1=opt(sp.pair_o1), pair_o2=opt(sp.pair_o2),
+            pair_bucket=opt(sp.pair_bucket),
+            blk_idx=opt(sp.blk),
+            valid=jnp.asarray(sp.valid),
+        )
+        pts0 = fdt(sp.pts)
+        cams0 = fdt(sp.cams)
 
     pa_spec = ProblemArrays(
         K=P(), q0=P(), obs=P(AXIS), cam_idx=P(AXIS), pt_idx=P(AXIS),
@@ -221,15 +225,17 @@ def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
 
 
 def solve_sharded(prob: BAProblem, cfg: SolverConfig | None = None,
-                  n_devices: int | None = None, dtype=None, start="lm"):
+                  n_devices: int | None = None, dtype=None, start="lm",
+                  schur="auto"):
     """Distributed hybrid solve (host alternation identical to
-    psba_tpu.solvers.hybrid.solve)."""
+    psba_tpu.solvers.hybrid.solve). `schur` in {"auto", "dense", "pairs"}
+    picks the per-shard S-assembly encoding."""
     from psba_tpu.solvers.hybrid import SolveResult
 
     cfg = cfg or SolverConfig()
     n_devices = n_devices or len(jax.devices())
     mesh = _make_mesh(n_devices)
-    sp = shard_problem(prob, n_devices)
+    sp = shard_problem(prob, n_devices, schur=schur)
     pa, cams0, pts0, init_s, lm_s, tr_s = make_sharded_runners(
         sp, cfg, mesh, dtype=dtype
     )

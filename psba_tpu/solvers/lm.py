@@ -133,6 +133,8 @@ def lm_run(
     # explicitly requested (see ops/schur_pallas.py).
     dense = pa.blk_idx is not None
     s_backend = "pallas" if cfg.backend == "pallas" else "xla"
+    # collective for the O(C^2) S assembly (cfg.s_reduce)
+    s_psum = ctx.psum_rs if cfg.s_reduce == "scatter" else ctx.psum
 
     def outer_body(s: _Outer):
         if pallas:
@@ -165,13 +167,13 @@ def lm_run(
             U_d, V_d = damp_uv(U, V, t.mu)
             Vinv, vok = inv3x3(V_d)
             if dense:
-                S, ZY = schur_S_dense(U_d, ZW, Vinv, psum=ctx.psum)
+                S, ZY = schur_S_dense(U_d, ZW, Vinv, psum=s_psum)
                 ea = reduced_rhs_dense(ga, gb, ZY, psum=ctx.psum)
             else:
                 Y = y_blocks(W, Vinv, pa.pt_idx)
                 S = schur_S(
                     U_d, Y, W, pa.pair_o1, pa.pair_o2, pa.pair_bucket, C,
-                    psum=ctx.psum, backend=s_backend,
+                    psum=s_psum, backend=s_backend,
                 )
                 ea = reduced_rhs(
                     ga, gb, Y, pa.cam_idx, pa.pt_idx, C, psum=ctx.psum

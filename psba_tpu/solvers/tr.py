@@ -177,6 +177,8 @@ def tr_run(
     # stacking when present in pa, covisibility pair list otherwise
     dense = pa.blk_idx is not None
     s_backend = "pallas" if cfg.backend == "pallas" else "xla"
+    # collective for the O(C^2) S assembly (cfg.s_reduce)
+    s_psum = ctx.psum_rs if cfg.s_reduce == "scatter" else ctx.psum
 
     def outer_body(s: _Outer):
         # B-blocks carry coeff 2, g = -(2 J^T ex) (trust_region.cpp:122-137)
@@ -217,13 +219,13 @@ def tr_run(
             U_d, V_d = damp_uv(U, V, t.lam)
             Vinv, vok = inv3x3(V_d)
             if dense:
-                S, ZY = schur_S_dense(U_d, ZW, Vinv, psum=ctx.psum)
+                S, ZY = schur_S_dense(U_d, ZW, Vinv, psum=s_psum)
                 ea = reduced_rhs_dense(g_c, g_p, ZY, psum=ctx.psum)
             else:
                 Y = y_blocks(W, Vinv, pa.pt_idx)
                 S = schur_S(
                     U_d, Y, W, pa.pair_o1, pa.pair_o2, pa.pair_bucket, C,
-                    psum=ctx.psum, backend=s_backend,
+                    psum=s_psum, backend=s_backend,
                 )
                 ea = reduced_rhs(
                     g_c, g_p, Y, pa.cam_idx, pa.pt_idx, C, psum=ctx.psum

@@ -29,6 +29,9 @@ class SolverConfig(NamedTuple):
     backend: str = "auto"                  # "auto" | "xla" | "pallas":
     # op implementation for the linearization stream; auto = pallas on TPU
     # when running float32, xla otherwise
+    s_reduce: str = "psum"                 # "psum" | "scatter": collective
+    # used for the O(C^2) Schur off-diagonal sum on a mesh; "scatter" =
+    # reduce_scatter + all_gather (see MeshCtx.psum_rs), same result
     record_history: bool = False           # per-iteration progress capture
     # (device-side ring of the reference's progress lines: itno/err/rho/mu
     # for LM (levmar.cpp:197), itno/err/delta/rho/|p|/lambda for TR

@@ -1,0 +1,52 @@
+"""Multi-process distributed-solve worker (launched by test_distributed).
+
+Usage: python tests/_dist_worker.py PROCESS_ID NUM_PROCESSES PORT OUT_JSON
+
+Each process owns 2 virtual CPU devices; jax.distributed coordinates the
+processes so the mesh spans NUM_PROCESSES * 2 devices, exactly the shape of
+a multi-host TPU pod slice (ICI within a process, DCN across)."""
+
+import json
+import os
+import sys
+
+pid, nproc, port, out = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from psba_tpu.io import synthetic_problem  # noqa: E402
+from psba_tpu.parallel.distributed import (  # noqa: E402
+    global_mesh,
+    init_distributed,
+    solve_distributed,
+)
+from psba_tpu.solvers import SolverConfig  # noqa: E402
+
+init_distributed(f"localhost:{port}", nproc, pid)
+assert jax.process_count() == nproc, jax.process_count()
+
+prob = synthetic_problem(n_cams=6, n_pts=150, seed=3)
+res = solve_distributed(prob, SolverConfig(), mesh=global_mesh())
+
+with open(out, "w") as f:
+    json.dump({
+        "process": pid,
+        "n_processes": jax.process_count(),
+        "n_devices": len(jax.devices()),
+        "n_local_devices": len(jax.local_devices()),
+        "final_error": res.final_error,
+        "iterations": res.iterations,
+        "flag": res.flag_name,
+        "local_pts_rows": int(res.pts.shape[0]),
+    }, f)
