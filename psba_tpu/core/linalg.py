@@ -29,15 +29,3 @@ def spd_solve(S, b):
     x = jsl.cho_solve((L, True), b)
     x = jnp.where(jnp.isfinite(x), x, 0.0)
     return x, ok
-
-
-def cholesky_ok(S):
-    """Factor + SPD check only (TR probes feasibility before solving)."""
-    L = jnp.linalg.cholesky(S)
-    diag = jnp.diagonal(L)
-    return L, jnp.all(jnp.isfinite(diag) & (diag > 0.0))
-
-
-def matvec(M, v):
-    """Dense mat-vec (kern_matVec_mul, CL_files/matVec_mul.cl)."""
-    return M @ v
