@@ -127,3 +127,45 @@ def test_two_view_pipeline_end_to_end():
     rms = float(np.sqrt(res.final_l2 / prob.n_obs))
     assert rms < 1.0
     assert res.final_l2 <= res.initial_l2
+
+
+def test_sequence_pipeline_multiview():
+    """Pose-graph chaining: 4-image sequence -> pairwise poses composed
+    with depth-ratio scale resolution -> multi-view tracks -> BAProblem ->
+    bundle adjust to the rendering noise floor."""
+    from psba_tpu.frontend.pipeline import sequence_problem
+    from psba_tpu.solvers import SolverConfig
+    from psba_tpu.solvers.hybrid import solve
+
+    rng = np.random.default_rng(11)
+    n_pts = 60
+    X = rng.uniform([-1.4, -1.0, 4], [1.4, 1.0, 8], size=(n_pts, 3))
+    K = [200.0, 80.0, 60.0, 1.0, 0.0]
+
+    imgs = []
+    n_views = 4
+    for i in range(n_views):
+        ang = 0.05 * i
+        R = np.array(
+            [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+             [-np.sin(ang), 0, np.cos(ang)]]
+        )
+        t = np.array([-0.4 * i, 0.0, 0.0])
+        Xc = X @ R.T + t
+        uv = Xc[:, :2] / Xc[:, 2:3] * K[0] + np.array(K[1:3])
+        imgs.append(jnp.array(_render(uv, H=120, W=160)))
+
+    prob = sequence_problem(imgs, K, n_features=128)
+    assert prob.n_cams == n_views
+    assert prob.n_pts >= 10
+    # pose-graph chaining must produce genuinely multi-view tracks
+    counts = np.bincount(prob.pt_idx)
+    assert (counts >= 3).sum() >= 5
+    # every camera participates
+    assert set(np.unique(prob.cam_idx)) == set(range(n_views))
+
+    # chained initialization must already be in the convergence basin
+    res = solve(prob, SolverConfig(max_iters=25, lm_switch_count=1000))
+    rms = float(np.sqrt(res.final_l2 / prob.n_obs))
+    assert rms < 1.0
+    assert res.final_l2 <= res.initial_l2
