@@ -17,8 +17,8 @@ import numpy as np
 
 from psba_tpu import constants as CC
 from psba_tpu.problem import BAProblem
-from psba_tpu.solvers.lm import lm_run
-from psba_tpu.solvers.tr import tr_run
+from psba_tpu.solvers.lm import lm_fresh_aux, lm_run
+from psba_tpu.solvers.tr import tr_fresh_aux, tr_run
 from psba_tpu.solvers.types import OptState, ProblemArrays, SolverConfig
 
 
@@ -76,6 +76,7 @@ def solve(
     dtype=None,
     start: str = "lm",
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 8,
     polish_iters: int = 0,
     schur: str = "auto",
 ) -> SolveResult:
@@ -83,12 +84,17 @@ def solve(
 
     `dtype` optionally casts the problem (e.g. jnp.float32 for the fast
     TPU path); default keeps the problem's own precision.
-    `checkpoint_dir` enables phase-boundary checkpointing with automatic
-    resume from the newest checkpoint.
+    `checkpoint_dir` enables checkpointing with automatic resume from the
+    newest checkpoint. `checkpoint_every` > 0 additionally chunks each
+    phase to at most that many outer iterations per device call (the
+    solvers' dynamic `iter_cap` — one trace, no per-chunk recompilation)
+    and saves at every chunk boundary with the phase scalars (OptState.aux)
+    so resume is exact mid-phase; 0 = phase-boundary checkpoints only.
     `polish_iters` > 0 appends a float64 LM refinement after the main
     (possibly float32) run — the mixed-precision strategy of SURVEY.md §7:
     fast f32 iterations to the f32 floor, then a few emulated-f64 steps to
-    reference precision.
+    reference precision. The polish phase checkpoints and resumes like the
+    main phases.
     `schur` in {"auto", "dense", "pairs"} picks the S-assembly encoding
     (see ProblemArrays.from_problem)."""
     cfg = config or SolverConfig.for_dtype(dtype or problem.pts.dtype)
@@ -96,8 +102,11 @@ def solve(
     cams = jnp.asarray(problem.cams, dtype=pa.K.dtype)
     pts = jnp.asarray(problem.pts, dtype=pa.K.dtype)
 
+    chunk = int(checkpoint_every) if checkpoint_dir else 0
     phase = start
     resume_itno = 0
+    resume_aux = None
+    polish_target = None
     if checkpoint_dir:
         from psba_tpu.utils import checkpoint as ckpt
 
@@ -108,6 +117,9 @@ def solve(
             pts = jnp.asarray(r_pts, dtype=pa.K.dtype)
             phase = meta.get("phase", start)
             resume_itno = int(meta.get("itno", 0))
+            resume_aux = meta.get("aux")
+            if meta.get("polish_target") is not None:
+                polish_target = int(meta["polish_target"])
 
     lm = jax.jit(lm_run, static_argnames=("cfg",))
     tr = jax.jit(tr_run, static_argnames=("cfg",))
@@ -115,6 +127,8 @@ def solve(
     state = OptState.init(pa, cams, pts, clamp=cfg.clamp_quat)
     if resume_itno:
         state = state._replace(itno=jnp.int32(resume_itno))
+    if resume_aux is not None and phase != "lm64":
+        state = state._replace(aux=jnp.asarray(resume_aux, pa.K.dtype))
     initial_l2 = float(state.ex_l2)
     n_obs = problem.n_obs
 
@@ -123,14 +137,35 @@ def solve(
     timers = PhaseTimers()
     t0 = time.perf_counter()
     phases = []
-    while True:
+    skip_main = phase == "lm64"  # resumed into the polish phase
+    flag = int(state.flag)
+    while not skip_main:
         runner = lm if phase == "lm" else tr
+        if chunk and state.aux is None:
+            fresh = (
+                lm_fresh_aux(pa.K.dtype) if phase == "lm"
+                else tr_fresh_aux(cfg, pa.K.dtype)
+            )
+            state = state._replace(aux=fresh)
         with timers.phase(phase):
-            state = runner(pa, state, cfg)
+            if chunk:
+                cap = min(int(state.itno) + chunk, cfg.max_iters)
+                state = runner(pa, state, cfg, iter_cap=jnp.int32(cap))
+            else:
+                state = runner(pa, state, cfg)
             flag = int(state.flag)
-        phases.append((phase, int(state.itno), flag))
+        # chunk boundary: budget left and no phase-terminating flag
+        mid_phase = (
+            chunk > 0
+            and flag == CC.ITER_CONTINUE
+            and int(state.itno) < cfg.max_iters
+        )
+        if not mid_phase:
+            phases.append((phase, int(state.itno), flag))
         next_phase = None
-        if phase == "lm" and flag == CC.ITER_TURN_TO_TR:
+        if mid_phase:
+            next_phase = phase
+        elif phase == "lm" and flag == CC.ITER_TURN_TO_TR:
             next_phase = "tr"
         elif phase == "tr" and flag == CC.ITER_TURN_TO_LM:
             next_phase = "lm"
@@ -141,20 +176,27 @@ def solve(
                 checkpoint_dir, state.cams, state.pts, int(state.itno),
                 flag, next_phase or phase,
                 extra={"ex_l2": float(state.ex_l2)},
+                aux=state.aux if mid_phase else None,
             )
         if next_phase is None:
             break
+        if not mid_phase:
+            # new phase starts with fresh scalars (the reference calls
+            # levmar()/trust_region() fresh on every switch)
+            state = state._replace(aux=None)
         phase = next_phase
 
     if polish_iters > 0:
         import numpy as _np
 
         if _np.dtype(pa.K.dtype) != _np.float64:
+            if polish_target is None:
+                polish_target = int(state.itno) + polish_iters
             pa64 = ProblemArrays.from_problem(
                 problem, dtype=jnp.float64, schur=schur
             )
             cfg64 = SolverConfig.for_dtype(jnp.float64)._replace(
-                max_iters=int(state.itno) + polish_iters,
+                max_iters=polish_target,
                 lm_switch_count=10_000,
             )
             state64 = OptState.init(
@@ -163,10 +205,44 @@ def solve(
                 jnp.asarray(state.pts, jnp.float64),
                 clamp=cfg.clamp_quat,
             )._replace(itno=state.itno)
+            if chunk:
+                aux64 = (
+                    jnp.asarray(resume_aux, jnp.float64)
+                    if skip_main and resume_aux is not None
+                    else lm_fresh_aux(jnp.float64)
+                )
+                state64 = state64._replace(aux=aux64)
             lm64 = jax.jit(lm_run, static_argnames=("cfg",))
-            with timers.phase("lm64"):
-                state = lm64(pa64, state64, cfg64)
-                flag = int(state.flag)
+            while True:
+                with timers.phase("lm64"):
+                    if chunk:
+                        cap = min(int(state64.itno) + chunk, polish_target)
+                        state64 = lm64(
+                            pa64, state64, cfg64, iter_cap=jnp.int32(cap)
+                        )
+                    else:
+                        state64 = lm64(pa64, state64, cfg64)
+                    flag = int(state64.flag)
+                mid_phase = (
+                    chunk > 0
+                    and flag == CC.ITER_CONTINUE
+                    and int(state64.itno) < polish_target
+                )
+                if checkpoint_dir:
+                    from psba_tpu.utils import checkpoint as ckpt
+
+                    ckpt.save(
+                        checkpoint_dir, state64.cams, state64.pts,
+                        int(state64.itno), flag, "lm64",
+                        extra={
+                            "ex_l2": float(state64.ex_l2),
+                            "polish_target": polish_target,
+                        },
+                        aux=state64.aux if mid_phase else None,
+                    )
+                if not mid_phase:
+                    break
+            state = state64
             phases.append(("lm64", int(state.itno), flag))
     state.ex_l2.block_until_ready()
     wall = time.perf_counter() - t0

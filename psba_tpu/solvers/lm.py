@@ -64,6 +64,12 @@ def use_pallas(cfg: SolverConfig, dtype) -> bool:
 _NU_OVERFLOW = float(2 ** 31)  # reference: int nu wraps (levmar.cpp:238-243)
 
 
+def lm_fresh_aux(dtype) -> jnp.ndarray:
+    """Phase-start aux vector (mu, nu, p_l2, good_cnt, first=1, pad) —
+    identical to the scalars lm_run seeds when state.aux is None."""
+    return jnp.asarray([0.0, 2.0, 1e3, 0.0, 1.0, 0.0], dtype)
+
+
 class _Inner(NamedTuple):
     cams: jnp.ndarray
     pts: jnp.ndarray
@@ -99,13 +105,19 @@ def lm_run(
     state: OptState,
     cfg: SolverConfig,
     ctx: MeshCtx = NO_MESH,
+    iter_cap=None,
 ) -> OptState:
     """Run LM until a non-CONTINUE flag or the shared iteration budget.
 
     Jit-compatible; `cfg`/`ctx` fields are Python constants baked at trace
     time. With a mesh context, `pa`/`pts`/`ex` hold the local point shard
     and camera-side quantities are kept replicated via psum (see
-    psba_tpu.parallel)."""
+    psba_tpu.parallel).
+
+    `iter_cap` (optional traced int32 scalar) stops the outer loop at a
+    dynamic global-iteration bound below cfg.max_iters — the hybrid
+    controller's chunked checkpointing uses it to regain host control every
+    K iterations without recompiling per chunk."""
 
     def _params_l2(cams, pts):
         # cameras are replicated; the point shard reduces over the mesh
@@ -123,8 +135,12 @@ def lm_run(
             & (s.tries < cfg.max_inner)
         )
 
+    cap = cfg.max_iters if iter_cap is None else jnp.minimum(
+        jnp.int32(iter_cap), cfg.max_iters
+    )
+
     def outer_cond(s: _Outer):
-        return (s.itno < cfg.max_iters) & (s.flag == CC.ITER_CONTINUE)
+        return (s.itno < cap) & (s.flag == CC.ITER_CONTINUE)
 
     pallas = use_pallas(cfg, dtype)
     # Schur encoding is a pytree-structure property of pa (types.py): dense
@@ -319,20 +335,37 @@ def lm_run(
         history = jnp.full((cfg.max_iters, 6), jnp.nan, dtype)
     elif not cfg.record_history:
         history = None  # absent from the carry pytree
+    if state.aux is None:
+        mu0 = jnp.asarray(0.0, dtype)
+        nu0 = jnp.asarray(2.0, dtype)
+        p_l20 = jnp.asarray(1e3, dtype)
+        good0 = jnp.int32(0)
+        first0 = jnp.bool_(True)
+    else:
+        a = state.aux.astype(dtype)
+        mu0, nu0, p_l20 = a[0], a[1], a[2]
+        good0 = a[3].astype(jnp.int32)
+        first0 = a[4] > 0.5
     s0 = _Outer(
         cams=state.cams, pts=state.pts, ex=state.ex, ex_l2=state.ex_l2,
-        mu=jnp.asarray(0.0, dtype), nu=jnp.asarray(2.0, dtype),
-        p_l2=jnp.asarray(1e3, dtype), good_cnt=jnp.int32(0),
+        mu=mu0, nu=nu0, p_l2=p_l20, good_cnt=good0,
         itno=state.itno, flag=jnp.int32(CC.ITER_CONTINUE),
-        first=jnp.bool_(True), history=history,
+        first=first0, history=history,
     )
     s = jax.lax.while_loop(outer_cond, outer_body, s0)
+    aux = None
+    if state.aux is not None:
+        aux = jnp.stack([
+            s.mu, s.nu, s.p_l2, s.good_cnt.astype(dtype),
+            s.first.astype(dtype), jnp.zeros((), dtype),
+        ])
     # loop may exit on the iteration budget with flag still CONTINUE;
     # the hybrid controller treats CONTINUE as exhausted-budget
     return OptState(
         cams=s.cams, pts=s.pts, ex=s.ex, ex_l2=s.ex_l2, itno=s.itno,
         flag=s.flag,
         history=s.history if cfg.record_history else None,
+        aux=aux,
     )
 
 

@@ -100,6 +100,13 @@ class _Outer(NamedTuple):
     history: jnp.ndarray
 
 
+def tr_fresh_aux(cfg: SolverConfig, dtype) -> jnp.ndarray:
+    """Phase-start aux vector (delta, lambda, origin_lambda, nu, notgood,
+    good_iters) — identical to the scalars tr_run seeds when state.aux is
+    None."""
+    return jnp.asarray([cfg.init_delta, 0.0, 0.0, 2.0, 0.0, 0.0], dtype)
+
+
 def _subspace_step(dot, pu_c, pu_p, pb_c, pb_p, g_c, g_p,
                    pUtBpU, pUtBpB, pBtBpB, delta):
     """compute_p_2 (trust_region.cpp:520-595): minimize the quadratic model
@@ -156,11 +163,18 @@ def tr_run(
     state: OptState,
     cfg: SolverConfig,
     ctx: MeshCtx = NO_MESH,
+    iter_cap=None,
 ) -> OptState:
-    """Run dogleg TR until a non-PASS flag or the shared iteration budget."""
+    """Run dogleg TR until a non-PASS flag or the shared iteration budget.
+
+    `iter_cap` (optional traced int32 scalar): dynamic outer-loop bound for
+    the hybrid controller's chunked checkpointing (see lm_run)."""
     C = pa.n_cams
     dtype = state.cams.dtype
     P = state.pts.shape[0]
+    cap = cfg.max_iters if iter_cap is None else jnp.minimum(
+        jnp.int32(iter_cap), cfg.max_iters
+    )
 
     def _dot(a_cams, a_pts, b_cams, b_pts):
         # cameras replicated, points sharded over the mesh
@@ -168,7 +182,7 @@ def tr_run(
 
     def outer_cond(s: _Outer):
         # for(; itno < 50; itno++) with `if (flag != ITER_PASS) break`
-        return (s.itno < cfg.max_iters) & (
+        return (s.itno < cap) & (
             (s.flag == CC.ITER_PASS) | (s.flag == CC.ITER_CONTINUE)
         )
 
@@ -424,22 +438,39 @@ def tr_run(
         history = jnp.full((cfg.max_iters, 6), jnp.nan, dtype)
     elif not cfg.record_history:
         history = None  # absent from the carry pytree
+    if state.aux is None:
+        dk0 = jnp.asarray(cfg.init_delta, dtype)
+        lam0 = jnp.asarray(0.0, dtype)
+        origin0 = jnp.asarray(0.0, dtype)
+        nu0 = jnp.asarray(2.0, dtype)
+        ng0 = jnp.int32(0)
+        gi0 = jnp.int32(0)
+    else:
+        a = state.aux.astype(dtype)
+        dk0, lam0, origin0, nu0 = a[0], a[1], a[2], a[3]
+        ng0 = a[4].astype(jnp.int32)
+        gi0 = a[5].astype(jnp.int32)
     s0 = _Outer(
         cams=state.cams, pts=state.pts, ex=state.ex, ex_l2=state.ex_l2,
-        dk=jnp.asarray(cfg.init_delta, dtype),
-        lam=jnp.asarray(0.0, dtype), origin_lam=jnp.asarray(0.0, dtype),
-        nu=jnp.asarray(2.0, dtype),
-        notgood=jnp.int32(0), good_iters=jnp.int32(0),
+        dk=dk0, lam=lam0, origin_lam=origin0, nu=nu0,
+        notgood=ng0, good_iters=gi0,
         itno=state.itno, flag=jnp.int32(CC.ITER_CONTINUE), history=history,
     )
     s = jax.lax.while_loop(outer_cond, outer_body, s0)
     flag = jnp.where(
         s.flag == CC.ITER_PASS, jnp.int32(CC.ITER_CONTINUE), s.flag
     )
+    aux = None
+    if state.aux is not None:
+        aux = jnp.stack([
+            s.dk, s.lam, s.origin_lam, s.nu,
+            s.notgood.astype(dtype), s.good_iters.astype(dtype),
+        ])
     return OptState(
         cams=s.cams, pts=s.pts, ex=s.ex, ex_l2=s.ex_l2, itno=s.itno,
         flag=flag,
         history=s.history if cfg.record_history else None,
+        aux=aux,
     )
 
 

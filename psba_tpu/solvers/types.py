@@ -124,6 +124,12 @@ class OptState(NamedTuple):
     flag: jnp.ndarray      # ITER_* code
     history: jnp.ndarray | None = None  # [max_iters, 6] per-iteration rows
     # (itno, ex_l2, rho, mu-or-lambda, delta, p_norm); NaN-filled unused
+    aux: jnp.ndarray | None = None  # [6] phase-scalar carry for chunked
+    # checkpointing: LM packs (mu, nu, p_l2, good_cnt, first, 0), TR packs
+    # (delta, lambda, origin_lambda, nu, notgood, good_iters). Presence is
+    # a pytree-structure property: solvers seed their loop scalars from it
+    # when present (exact mid-phase resume) and re-initialize when None
+    # (the reference's fresh-call semantics, main.cpp:193-208)
 
     @staticmethod
     def init(prob_arrays: ProblemArrays, cams, pts, clamp=False, ctx=None):

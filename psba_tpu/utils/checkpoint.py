@@ -8,7 +8,9 @@ computation.
 
 Format: a single .npz with cams/pts/itno/flag/phase plus metadata, written
 atomically (tmp + rename) so an interrupted write never corrupts the
-latest checkpoint.
+latest checkpoint. With iteration-boundary (chunked) checkpointing the
+solver's phase-scalar aux vector (OptState.aux) is stored too, so resume
+is exact mid-phase (same mu/nu or delta/lambda trajectory).
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ FORMAT_VERSION = 1
 
 
 def save(path: str, cams, pts, itno: int, flag: int, phase: str,
-         extra: dict | None = None) -> str:
+         extra: dict | None = None, aux=None) -> str:
     """Write a checkpoint; returns the file path."""
     os.makedirs(path, exist_ok=True)
     meta = dict(version=FORMAT_VERSION, itno=int(itno), flag=int(flag),
@@ -31,12 +33,12 @@ def save(path: str, cams, pts, itno: int, flag: int, phase: str,
     fname = os.path.join(path, f"ckpt_{int(itno):05d}.npz")
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
     os.close(fd)
+    arrays = dict(cams=np.asarray(cams), pts=np.asarray(pts))
+    if aux is not None:
+        arrays["aux"] = np.asarray(aux)
     try:
         with open(tmp, "wb") as f:
-            np.savez(
-                f, cams=np.asarray(cams), pts=np.asarray(pts),
-                meta=json.dumps(meta),
-            )
+            np.savez(f, meta=json.dumps(meta), **arrays)
         os.replace(tmp, fname)
     finally:
         if os.path.exists(tmp):
@@ -49,7 +51,8 @@ def save(path: str, cams, pts, itno: int, flag: int, phase: str,
 
 
 def load_latest(path: str):
-    """Return (cams, pts, meta) from the newest checkpoint, or None."""
+    """Return (cams, pts, meta) from the newest checkpoint, or None.
+    `meta["aux"]` holds the phase-scalar vector when one was saved."""
     latest = os.path.join(path, "latest")
     if not os.path.exists(latest):
         return None
@@ -60,4 +63,6 @@ def load_latest(path: str):
         return None
     with np.load(full, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
+        if "aux" in z.files:
+            meta["aux"] = z["aux"].copy()
         return z["cams"].copy(), z["pts"].copy(), meta
