@@ -61,26 +61,44 @@ def test_golden_f64_trafalgar21():
     np.testing.assert_allclose(res.final_error, g["final_error"], rtol=1e-6)
 
 
+# 3cams is excluded from the f32 gate: 7 observations vs ~21 free
+# parameters make it an exact-interpolation problem whose optimum
+# (final_error 4.8e-9) sits ~5 orders below the f32 precision floor;
+# the f64 golden gate still covers it.
+F32_GATED = [n for n in SMALL if n != "3cams"] + ["trafalgar21"]
+# 5cams (43 obs, 13 pts) is barely overdetermined; its f32 run settles
+# 13% above the f64 optimum, so it gets a documented looser gate. All
+# real datasets hold the 10% bar.
+F32_GAP = {"5cams": 1.25}
+
+
 @requires_data
-@pytest.mark.parametrize("name", ["7camsvarK", "54camsvarKD"])
+@pytest.mark.parametrize("name", F32_GATED)
 def test_golden_f32_gap(name):
-    """The f32 fast path must land within 10% of the f64 optimum."""
+    """The f32 fast path must land within 10% of the f64 optimum on every
+    complete dataset (the bench configuration trafalgar21 included, so a
+    numerics regression in the fast path cannot pass CI unnoticed)."""
     import jax.numpy as jnp
 
     g = GOLDEN[name]
     res = solve(datasets.load(name), SolverConfig.for_dtype(jnp.float32),
                 dtype=jnp.float32)
-    assert res.final_error <= 1.10 * g["final_error"]
+    gap = F32_GAP.get(name, 1.10)
+    assert res.final_error <= max(gap * g["final_error"], 5e-5)
 
 
 @requires_data
-def test_golden_f32_polish_recovers():
-    """f32 run + f64 LM polish must recover the full-precision optimum."""
+@pytest.mark.parametrize(
+    "name", ["7camsvarK", "9camsvarK", "54camsvarKD", "trafalgar21"]
+)
+def test_golden_f32_polish_recovers(name):
+    """f32 run + f64 LM polish must recover the full-precision optimum
+    on every dataset family (one representative per camera count)."""
     import jax.numpy as jnp
 
-    g = GOLDEN["7camsvarK"]
+    g = GOLDEN[name]
     res = solve(
-        datasets.load("7camsvarK"), SolverConfig.for_dtype(jnp.float32),
-        dtype=jnp.float32, polish_iters=15,
+        datasets.load(name), SolverConfig.for_dtype(jnp.float32),
+        dtype=jnp.float32, polish_iters=30,
     )
     np.testing.assert_allclose(res.final_error, g["final_error"], rtol=1e-5)
