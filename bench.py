@@ -82,6 +82,13 @@ def main():
         if base.get("lm_iter_ms"):
             vs_baseline = base["lm_iter_ms"] / lm_iter_ms
 
+    # speed-of-light accounting (BASELINE.md: stages measured vs roofline)
+    from psba_tpu.utils.roofline import summarize
+
+    roof = summarize(
+        prob.n_cams, prob.n_pts, prob.n_obs, lm_iter_ms
+    )
+
     print(json.dumps({
         "metric": "lm_iter_ms_trafalgar21",
         "value": round(lm_iter_ms, 3),
@@ -94,6 +101,7 @@ def main():
             "dtype": "float32",
             "amortized_iter_ms_incl_dispatch": round(amortized_ms, 3),
             "final_l2_after_12it": float(out.ex_l2),
+            **roof,
         },
     }))
     return 0

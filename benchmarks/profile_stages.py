@@ -8,7 +8,13 @@ and report (t(N2) - t(N1)) / (N2 - N1). A data-dependent perturbation is
 threaded through the loop carry so XLA cannot hoist the body.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +23,8 @@ from psba_tpu.core.hessian import damp_uv
 from psba_tpu.core.linalg import spd_solve
 from psba_tpu.core.schur import (
     back_substitute_dense,
-    inv3x3,
+    inv3x3_planar,
+    planar_gb,
     reduced_rhs_dense,
     schur_S_dense,
     stack_blocks,
@@ -69,11 +76,12 @@ def main():
         pa.K, pa.q0, cams, pts, pa.obs, pa.cam_idx, pa.pt_idx, pa.valid, C, P
     )
     ZW = stack_blocks(W, pa.blk_idx)
+    gbp = planar_gb(gb)
     mu = jnp.asarray(1e-3, dtype)
     U_d, V_d = damp_uv(U, V, mu)
-    Vinv, _ = inv3x3(V_d)
-    S, ZY = schur_S_dense(U_d, ZW, Vinv)
-    ea = reduced_rhs_dense(ga, gb, ZY)
+    Vp, _ = inv3x3_planar(V_d)
+    S, ZY = schur_S_dense(U_d, ZW, Vp)
+    ea = reduced_rhs_dense(ga, gbp, ZY)
     dpa_flat, ok = spd_solve(S, ea.reshape(-1))
     dpa = dpa_flat.reshape(C, 6)
 
@@ -87,24 +95,36 @@ def main():
             pa.valid,
         )[1],
         "stack_blocks": lambda e: jnp.sum(stack_blocks(W + e, pa.blk_idx)),
-        "inv3x3": lambda e: jnp.sum(inv3x3(V_d + e)[0]),
+        "inv3x3": lambda e: jnp.sum(inv3x3_planar(V_d + e)[0]),
         "schur_S_dense": lambda e: jnp.sum(
-            schur_S_dense(U_d, ZW + e, Vinv)[0]
+            schur_S_dense(U_d, ZW + e, Vp)[0]
         ),
         "reduced_rhs_dense": lambda e: jnp.sum(
-            reduced_rhs_dense(ga + e, gb, ZY)
+            reduced_rhs_dense(ga + e, gbp, ZY)
         ),
         "spd_solve": lambda e: jnp.sum(spd_solve(S, ea.reshape(-1) + e)[0]),
         "back_substitute": lambda e: jnp.sum(
-            back_substitute_dense(gb, ZW, Vinv, dpa + e)[1]
+            back_substitute_dense(gbp, ZW, Vp, dpa + e)[1]
         ),
         "damp_uv": lambda e: jnp.sum(damp_uv(U, V, mu + e)[0]),
     }
+    from psba_tpu.utils.roofline import lm_stage_costs, V5E
+
+    costs = lm_stage_costs(C, P, pa.n_obs)
     total = 0.0
+    print(f"{'stage':22s} {'measured':>10s} {'roofline':>10s} "
+          f"{'%SoL':>6s}  bound")
     for name, body in stages.items():
         ms = marginal_ms(body, seed)
         total += ms
-        print(f"{name:22s} {ms:8.4f} ms")
+        c = costs.get(name) or costs.get(name + "_dense")
+        if c is not None:
+            sol = c.ms(V5E)
+            pct = 100.0 * sol / ms if ms > 0 else 0.0
+            print(f"{name:22s} {ms:8.4f} ms {sol:8.4f} ms {pct:5.1f}%"
+                  f"  {c.bound(V5E)}")
+        else:
+            print(f"{name:22s} {ms:8.4f} ms {'—':>10s}")
     print(f"{'SUM':22s} {total:8.4f} ms")
 
 

@@ -39,7 +39,7 @@ FLAG_NAMES = {
 }
 
 # Dense-Schur dispatch threshold: the blk_idx-gather formulation (see
-# psba_tpu.core.schur.schur_S_dense) materializes two [C, P, 6, 3] stacked
+# psba_tpu.core.schur.schur_S_dense) materializes two [6C, 3P] stacked
 # block tensors (144 bytes per (cam, point) cell in f32); above this many
 # C*P cells the covisibility pair list path is used instead. 8M cells
 # covers every reference/BAL dataset up to Rome-93 (~5.7M) within ~1.2 GB.

@@ -110,6 +110,36 @@ def inv3x3(V):
     return Vinv, ok
 
 
+def inv3x3_planar(V):
+    """inv3x3 in the planar [3, 3, P] layout (P in the TPU lane
+    dimension). Identical cofactor + pivoted-fallback math; the only
+    difference is the output stacking: leading (i, j) axes keep every
+    elementwise op a full-lane [P] vector, where [P, 3, 3]'s size-3 minor
+    dims waste 125/128 lanes per op (measured 40x off roofline on the
+    downstream consumers — see schur_S_dense)."""
+    a, b, c = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
+    d, e, f = V[..., 1, 1], V[..., 1, 2], V[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    det = a * co00 + b * co01 + c * co02
+    need_fallback = jnp.abs(det) < 1e-16
+    det_piv = _pivoted_det3(V)
+    det_use = jnp.where(need_fallback, det_piv, det)
+    blk_ok = (det_use != 0.0) & jnp.isfinite(det_use)
+    ok = jnp.all(blk_ok)
+    inv_det = jnp.where(blk_ok, 1.0 / jnp.where(blk_ok, det_use, 1.0), 0.0)
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    Vp = jnp.stack([
+        jnp.stack([co00, co01, co02], axis=0),
+        jnp.stack([co01, co11, co12], axis=0),
+        jnp.stack([co02, co12, co22], axis=0),
+    ], axis=0) * inv_det[None, None]
+    return Vp, ok
+
+
 def y_blocks(W, Vinv, pt_idx):
     """Y_o = W_o Vinv_{i(o)}  [O,6,3] (kern_compute_Yblks)."""
     return jnp.einsum(
@@ -153,25 +183,32 @@ def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None,
 
 
 def stack_blocks(W, blk_idx):
-    """Stack per-observation W blocks into the dense matmul-ready layout
-    ZW [C, 6, P, 3]: ZW[c, :, p, :] = W_o for the observation of point p
-    in camera c, zeros where unseen; `ZW.reshape(6C, 3P)` is directly the
-    stacked off-diagonal factor.
+    """Stack per-observation W blocks into the planar dense layout
+    ZW [6C, 3P]: ZW[6c+i, kP+p] = W_o[i, k] for the observation of point p
+    in camera c, zeros where unseen — directly the stacked off-diagonal
+    factor of the reduced system.
 
     One row gather driven by the blk_idx table (the reference's dense
     (point x cam) -> obs lookup, misc.cpp:190-199, transposed); unseen
     cells index the appended zero row. On TPU this replaces every
     scatter/segment/one-hot reduction downstream: S, ea, and eb all become
-    dense MXU contractions against ZW (see schur_S_dense). The row-major
-    gather result is transposed here, once per linearization — the Schur
-    retry loop then runs transpose-free."""
+    dense MXU contractions against ZW (see schur_S_dense).
+
+    Layout note: the planar 2-D form keeps the huge point axis in the TPU
+    lane dimension for every downstream op. The earlier [C, 6, P, 3]
+    layout put size-3 in the minor dim, which cost ~40x roofline on the
+    retry chain (measured); planar runs the S assembly at roofline. The
+    gather + transpose happens once per linearization — the damping-retry
+    loop is relayout-free."""
     O = W.shape[0]
     C, P = blk_idx.shape
     W_pad = jnp.concatenate(
         [W.reshape(O, 18), jnp.zeros((1, 18), W.dtype)], axis=0
     )
-    ZW = jnp.take(W_pad, blk_idx.reshape(-1), axis=0, mode="clip")
-    return ZW.reshape(C, P, 6, 3).transpose(0, 2, 1, 3)
+    G = jnp.take(W_pad, blk_idx.reshape(-1), axis=0, mode="clip")
+    # [C*P, 18] -> [C, 6, 3, P] -> rows 6c+i, cols k*P+p (pure reshape)
+    G = G.reshape(C, P, 6, 3).transpose(0, 2, 3, 1)
+    return G.reshape(C * 6, 3 * P)
 
 
 # True-f32 contractions: TPU dot_general defaults to bf16 multiplies
@@ -181,28 +218,33 @@ def stack_blocks(W, blk_idx):
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def schur_S_dense(U, ZW, Vinv, psum=None):
+def schur_S_dense(U, ZW, Vp, psum=None):
     """Dense-stacked Schur assembly: S = blockdiag(U) - ZY @ ZW^T.
 
     Same math as schur_S (kern_compute_S, CL_files/compute_S.cl:40-56) in
     one [6C, 3P] x [3P, 6C] MXU contraction: the p-axis sum enumerates
     exactly the covisibility pairs, because unseen (c, p) cells are zero.
-    ZW arrives in the matmul-ready [C, 6, P, 3] layout (stack_blocks), so
-    ZY = ZW Vinv — three broadcast FMAs on the VPU (2x faster and
-    exactly-f32 vs a batched-tiny-matmul lowering) — is born in that
-    layout too and the damping-retry loop does no transposes at all. Also
-    returns ZY [C, 6, P, 3], reused by reduced_rhs_dense. `U` must be
+    ZW arrives planar [6C, 3P] (stack_blocks) and Vp planar [3, 3, P]
+    (inv3x3_planar), so ZY[r, jP+p] = sum_k ZW[r, kP+p] Vp[k, j, p] is
+    nine full-lane broadcast FMAs on the VPU and is born matmul-ready —
+    the damping-retry loop does no relayouts at all (this exact chain
+    measured 16x faster than the [C, 6, P, 3] block layout it replaced).
+    Also returns ZY [6C, 3P], reused by reduced_rhs_dense. `U` must be
     mesh-global and damped; `psum` reduces the shard-local sum."""
-    C, P = ZW.shape[0], ZW.shape[2]
-    Vb = Vinv[None, None]                          # [1,1,P,3,3]
-    ZY = (
-        ZW[..., 0:1] * Vb[..., 0, :]
-        + ZW[..., 1:2] * Vb[..., 1, :]
-        + ZW[..., 2:3] * Vb[..., 2, :]
-    )                                              # [C,6,P,3]
-    a = ZY.reshape(C * 6, P * 3)
-    b = ZW.reshape(C * 6, P * 3)
-    off = jnp.matmul(a, b.T, precision=_PREC).reshape(C, 6, C, 6)
+    R = ZW.shape[0]
+    C = R // 6
+    P = ZW.shape[1] // 3
+    Zk = ZW.reshape(R, 3, P)
+    ZY = jnp.concatenate(
+        [
+            Zk[:, 0, :] * Vp[0, j][None]
+            + Zk[:, 1, :] * Vp[1, j][None]
+            + Zk[:, 2, :] * Vp[2, j][None]
+            for j in range(3)
+        ],
+        axis=1,
+    )                                              # [6C, 3P]
+    off = jnp.matmul(ZY, ZW.T, precision=_PREC).reshape(C, 6, C, 6)
     if psum is not None:
         off = psum(off)
     S = -off
@@ -210,21 +252,37 @@ def schur_S_dense(U, ZW, Vinv, psum=None):
     return S.reshape(6 * C, 6 * C), ZY
 
 
-def reduced_rhs_dense(ga, gb, ZY, psum=None):
-    """ea = ga - sum_p ZY[:, :, p] gb_p  [C,6] (kern_compute_ea on the
-    dense stacked layout). `ga` must be mesh-global."""
-    term = jnp.einsum("cipj,pj->ci", ZY, gb, precision=_PREC)
+def reduced_rhs_dense(ga, gbp, ZY, psum=None):
+    """ea = ga - ZY @ gbp  [C,6] (kern_compute_ea on the planar stacked
+    layout): one [6C, 3P] mat-vec. `ga` must be mesh-global; `gbp` is the
+    planar [3P] point gradient (planar_gb)."""
+    term = jnp.matmul(ZY, gbp, precision=_PREC)
     if psum is not None:
         term = psum(term)
-    return ga - term
+    return ga - term.reshape(-1, 6)
 
 
-def back_substitute_dense(gb, ZW, Vinv, dpa):
-    """eb_i = gb_i - sum_c ZW[c, :, i]^T dpa_c;  dpb_i = Vinv_i eb_i
-    (kern_compute_eb + kern_compute_dpb on the dense stacked layout)."""
-    eb = gb - jnp.einsum("cipj,ci->pj", ZW, dpa, precision=_PREC)
-    dpb = jnp.einsum("pij,pj->pi", Vinv, eb, precision=_PREC)
-    return eb, dpb
+def planar_gb(gb):
+    """[P, 3] point-side vector -> planar [3P] (k*P+p), matching the
+    column layout of stack_blocks/schur_S_dense."""
+    return gb.T.reshape(-1)
+
+
+def back_substitute_dense(gbp, ZW, Vp, dpa):
+    """eb = gbp - ZW^T dpa;  dpb_i = Vinv_i eb_i (kern_compute_eb +
+    kern_compute_dpb on the planar layout). `dpa` is [C, 6]; returns
+    (ebp [3P] planar, dpb [P, 3])."""
+    P = ZW.shape[1] // 3
+    ebp = gbp - jnp.matmul(dpa.reshape(-1), ZW, precision=_PREC)
+    Ek = ebp.reshape(3, P)
+    dpb = jnp.stack(
+        [
+            Vp[0, j] * Ek[0] + Vp[1, j] * Ek[1] + Vp[2, j] * Ek[2]
+            for j in range(3)
+        ],
+        axis=1,
+    )                                              # [P, 3]
+    return ebp, dpb
 
 
 def reduced_rhs(ga, gb, Y, cam_idx, pt_idx, n_cams, psum=None):

@@ -181,7 +181,7 @@ def build_blk_idx(pt_idx: np.ndarray, cam_idx: np.ndarray, n_cams: int,
     The reference builds the same table point-major as blk_idx[i*nCams+j]
     with -1 for unseen cells (misc.cpp:190-199) and loops over it inside
     kern_compute_U/V/S. Here it drives a single row gather that stacks the
-    per-observation W blocks into the dense [C, P, 6, 3] layout consumed by
+    per-observation W blocks into the planar dense [6C, 3P] layout consumed by
     the matmul Schur assembly; unseen cells hold n_obs, the index of an
     appended all-zero row (negative markers would wrap, not fill)."""
     n_obs = len(pt_idx)

@@ -38,6 +38,8 @@ from psba_tpu.core.schur import (
     back_substitute,
     back_substitute_dense,
     inv3x3,
+    inv3x3_planar,
+    planar_gb,
     reduced_rhs,
     reduced_rhs_dense,
     schur_S,
@@ -172,8 +174,9 @@ def lm_run(
         if dense:
             # loop-invariant across damping retries: W is fixed per outer
             # iteration, so the gather happens once; every retry below is
-            # pure dense matmuls against ZW
+            # pure dense matmuls against the planar ZW [6C, 3P]
             ZW = stack_blocks(W, pa.blk_idx)
+            gbp = planar_gb(gb)
         # first-iteration damping seed (levmar.cpp:113-120)
         mu = jnp.where(s.first, cfg.tau * ctx.pmax(max_diag(U, V)), s.mu)
         nu = jnp.where(s.first, 2.0, s.nu)
@@ -181,11 +184,12 @@ def lm_run(
 
         def inner_body(t: _Inner):
             U_d, V_d = damp_uv(U, V, t.mu)
-            Vinv, vok = inv3x3(V_d)
             if dense:
-                S, ZY = schur_S_dense(U_d, ZW, Vinv, psum=s_psum)
-                ea = reduced_rhs_dense(ga, gb, ZY, psum=ctx.psum)
+                Vp, vok = inv3x3_planar(V_d)
+                S, ZY = schur_S_dense(U_d, ZW, Vp, psum=s_psum)
+                ea = reduced_rhs_dense(ga, gbp, ZY, psum=ctx.psum)
             else:
+                Vinv, vok = inv3x3(V_d)
                 Y = y_blocks(W, Vinv, pa.pt_idx)
                 S = schur_S(
                     U_d, Y, W, pa.pair_o1, pa.pair_o2, pa.pair_bucket, C,
@@ -200,7 +204,7 @@ def lm_run(
             ok = ok & ctx.pand(vok)
             dpa = dpa_flat.reshape(C, 6)
             if dense:
-                _eb, dpb = back_substitute_dense(gb, ZW, Vinv, dpa)
+                _ebp, dpb = back_substitute_dense(gbp, ZW, Vp, dpa)
             else:
                 _eb, dpb = back_substitute(
                     gb, W, Vinv, dpa, pa.cam_idx, pa.pt_idx, t.pts.shape[0]

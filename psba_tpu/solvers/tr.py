@@ -40,6 +40,8 @@ from psba_tpu.core.schur import (
     back_substitute,
     back_substitute_dense,
     inv3x3,
+    inv3x3_planar,
+    planar_gb,
     reduced_rhs,
     reduced_rhs_dense,
     schur_S,
@@ -217,6 +219,7 @@ def tr_run(
         if dense:
             # loop-invariant across the lambda-escalation retries below
             ZW = stack_blocks(W, pa.blk_idx)
+            g_pp = planar_gb(g_p)
 
         # Cauchy step P_U = -(g^T g / g^T B g) g (trust_region.cpp:125-130)
         Jg = jmultiply(A, B, g_c, g_p, pa.cam_idx, pa.pt_idx)
@@ -231,11 +234,12 @@ def tr_run(
 
         def solve_body(t: _SolveCarry):
             U_d, V_d = damp_uv(U, V, t.lam)
-            Vinv, vok = inv3x3(V_d)
             if dense:
-                S, ZY = schur_S_dense(U_d, ZW, Vinv, psum=s_psum)
-                ea = reduced_rhs_dense(g_c, g_p, ZY, psum=ctx.psum)
+                Vp, vok = inv3x3_planar(V_d)
+                S, ZY = schur_S_dense(U_d, ZW, Vp, psum=s_psum)
+                ea = reduced_rhs_dense(g_c, g_pp, ZY, psum=ctx.psum)
             else:
+                Vinv, vok = inv3x3(V_d)
                 Y = y_blocks(W, Vinv, pa.pt_idx)
                 S = schur_S(
                     U_d, Y, W, pa.pair_o1, pa.pair_o2, pa.pair_bucket, C,
@@ -250,7 +254,7 @@ def tr_run(
             ok = ok & ctx.pand(vok)
             dpa = dpa_flat.reshape(C, 6)
             if dense:
-                _eb, dpb = back_substitute_dense(g_p, ZW, Vinv, dpa)
+                _ebp, dpb = back_substitute_dense(g_pp, ZW, Vp, dpa)
             else:
                 _eb, dpb = back_substitute(
                     g_p, W, Vinv, dpa, pa.cam_idx, pa.pt_idx, P

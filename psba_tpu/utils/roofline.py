@@ -125,7 +125,7 @@ def lm_stage_costs(C: int, P: int, O: int, itemsize: int = 4,
     costs["pt_segment_sum"] = StageCost(
         "pt_segment_sum", bytes=(12 * O + 12 * P) * b, flops_vpu=12.0 * O
     )
-    # --- stack_blocks: gather W[O,18] rows into ZW[C,6,P,3]
+    # --- stack_blocks: gather W[O,18] rows into the planar ZW [6C,3P]
     costs["stack_blocks"] = StageCost(
         "stack_blocks", bytes=(18 * O + 18 * C * P) * b
     )

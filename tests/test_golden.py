@@ -47,7 +47,15 @@ def test_golden_f64(name):
     np.testing.assert_allclose(
         res.initial_error, g["initial_error"], rtol=1e-9
     )
-    np.testing.assert_allclose(res.final_error, g["final_error"], rtol=1e-6)
+    if g["final_error"] < 1e-8:
+        # exact-interpolation optimum (3cams): the pinned value is f64
+        # roundoff noise, so gate "converges to zero" absolutely rather
+        # than pinning the noise itself
+        assert res.final_error < 1e-8
+    else:
+        np.testing.assert_allclose(
+            res.final_error, g["final_error"], rtol=1e-6
+        )
     assert abs(res.iterations - g["iterations"]) <= 2
 
 

@@ -14,6 +14,8 @@ from psba_tpu.core.residual import residuals
 from psba_tpu.core.schur import (
     back_substitute,
     back_substitute_dense,
+    inv3x3_planar,
+    planar_gb,
     inv3x3,
     reduced_rhs,
     reduced_rhs_dense,
@@ -128,9 +130,16 @@ def test_schur_dense_stack_matches_pairs(prob_synth):
                       p.n_cams)
     ea_pairs = reduced_rhs(ga, gb, Y, p.cam_idx, p.pt_idx, p.n_cams)
 
+    Vp, okp = inv3x3_planar(V_d)
+    assert bool(okp)
+    # planar layout carries the same inverse: Vp[k, j, p] == Vinv[p, k, j]
+    np.testing.assert_allclose(
+        np.asarray(Vp), np.asarray(Vinv).transpose(1, 2, 0), rtol=1e-12
+    )
     ZW = stack_blocks(W, jnp.asarray(p.blk_idx))
-    S_dense, ZY = schur_S_dense(U_d, ZW, Vinv)
-    ea_dense = reduced_rhs_dense(ga, gb, ZY)
+    gbp = planar_gb(gb)
+    S_dense, ZY = schur_S_dense(U_d, ZW, Vp)
+    ea_dense = reduced_rhs_dense(ga, gbp, ZY)
 
     np.testing.assert_allclose(
         np.asarray(S_dense), np.asarray(S_pairs), rtol=1e-9, atol=1e-9
@@ -145,12 +154,13 @@ def test_schur_dense_stack_matches_pairs(prob_synth):
     eb_p, dpb_p = back_substitute(
         gb, W, Vinv, dpa, p.cam_idx, p.pt_idx, p.n_pts
     )
-    eb_d, dpb_d = back_substitute_dense(gb, ZW, Vinv, dpa)
+    ebp_d, dpb_d = back_substitute_dense(gbp, ZW, Vp, dpa)
     np.testing.assert_allclose(
         np.asarray(dpb_d), np.asarray(dpb_p), rtol=1e-9, atol=1e-12
     )
     np.testing.assert_allclose(
-        np.asarray(eb_d), np.asarray(eb_p), rtol=1e-9, atol=1e-12
+        np.asarray(ebp_d), np.asarray(planar_gb(eb_p)),
+        rtol=1e-9, atol=1e-12
     )
 
 
