@@ -74,10 +74,16 @@ def test_golden_f64_trafalgar21():
 # (final_error 4.8e-9) sits ~5 orders below the f32 precision floor;
 # the f64 golden gate still covers it.
 F32_GATED = [n for n in SMALL if n != "3cams"] + ["trafalgar21"]
-# 5cams (43 obs, 13 pts) is barely overdetermined; its f32 run settles
-# 13% above the f64 optimum, so it gets a documented looser gate. All
-# real datasets hold the 10% bar.
-F32_GAP = {"5cams": 1.25}
+# 5cams (43 obs, 13 pts) is barely overdetermined AND gauge-singular
+# enough that the f32 trajectory is chaotic: S at lambda=0 is
+# numerically indefinite, so TR's GMW bootstrap lambda = |sum E|/n
+# (trust_region.cpp:341-366) is dominated by f32 rounding in S, and
+# any summation-order change (e.g. the planar Schur relayout) lands the
+# run at a different local stop between 1.1x and 2.9x the f64 optimum.
+# The gate here is a sanity bound on that measured spread; the STRICT
+# gate for 5cams-class numerics is test_golden_f32_polish_recovers,
+# which requires the polished run to hit the f64 optimum at rtol 1e-5.
+F32_GAP = {"5cams": 3.0}
 
 
 @requires_data
@@ -97,7 +103,7 @@ def test_golden_f32_gap(name):
 
 @requires_data
 @pytest.mark.parametrize(
-    "name", ["7camsvarK", "9camsvarK", "54camsvarKD", "trafalgar21"]
+    "name", ["5cams", "7camsvarK", "9camsvarK", "54camsvarKD", "trafalgar21"]
 )
 def test_golden_f32_polish_recovers(name):
     """f32 run + f64 LM polish must recover the full-precision optimum
@@ -105,8 +111,11 @@ def test_golden_f32_polish_recovers(name):
     import jax.numpy as jnp
 
     g = GOLDEN[name]
+    # 5cams' chaotic f32 phase (see F32_GAP note) parks further from the
+    # optimum, so its polish needs a larger iteration budget; the stop
+    # test (PSBA_EPSILON2) ends all runs early once converged.
     res = solve(
         datasets.load(name), SolverConfig.for_dtype(jnp.float32),
-        dtype=jnp.float32, polish_iters=30,
+        dtype=jnp.float32, polish_iters=300 if name == "5cams" else 30,
     )
     np.testing.assert_allclose(res.final_error, g["final_error"], rtol=1e-5)
