@@ -140,6 +140,152 @@ def inv3x3_planar(V):
     return Vp, ok
 
 
+def _pivoted_det3_rows(m):
+    """Partial-pivot Gaussian determinant on a 3x3 of planar [P] vectors
+    (m[i][j] is row i, col j). Same algorithm and numerical fixes as
+    _pivoted_det3 (compute_Vinv.cl:28-76 semantics), but row swaps are
+    where-selects on full-lane vectors instead of strided at[].set
+    updates on a [P, 3, 3] array."""
+    r0, r1, r2 = list(m[0]), list(m[1]), list(m[2])
+    sign = jnp.ones_like(r0[0])
+    c0 = (jnp.abs(r0[0]), jnp.abs(r1[0]), jnp.abs(r2[0]))
+    p1 = c0[1] > jnp.maximum(c0[0], c0[2])
+    p2 = (~p1) & (c0[2] > c0[0])
+
+    def swap(ra, rb, pred):
+        return (
+            [jnp.where(pred, b, a) for a, b in zip(ra, rb)],
+            [jnp.where(pred, a, b) for a, b in zip(ra, rb)],
+        )
+
+    r0, r1 = swap(r0, r1, p1)
+    r0, r2 = swap(r0, r2, p2)
+    sign = jnp.where(p1 | p2, -sign, sign)
+
+    a00 = r0[0]
+    safe00 = jnp.where(a00 != 0.0, a00, 1.0)
+    l1 = jnp.where(a00 != 0.0, r1[0] / safe00, 0.0)
+    l2 = jnp.where(a00 != 0.0, r2[0] / safe00, 0.0)
+    b11 = r1[1] - l1 * r0[1]
+    b12 = r1[2] - l1 * r0[2]
+    b21 = r2[1] - l2 * r0[1]
+    b22 = r2[2] - l2 * r0[2]
+
+    swap2 = jnp.abs(b21) > jnp.abs(b11)
+    t11 = jnp.where(swap2, b21, b11)
+    t12 = jnp.where(swap2, b22, b12)
+    t21 = jnp.where(swap2, b11, b21)
+    t22 = jnp.where(swap2, b12, b22)
+    sign = jnp.where(swap2, -sign, sign)
+
+    safe11 = jnp.where(t11 != 0.0, t11, 1.0)
+    c22 = t22 - jnp.where(t11 != 0.0, t21 / safe11, 0.0) * t12
+    return sign * a00 * t11 * c22
+
+
+def inv3x3_planar3(Vp):
+    """Batched symmetric 3x3 inverse on the fully planar [3, 3, P] layout
+    (inv3x3's cofactor + pivoted-fallback semantics; every op is a
+    full-lane [P] vector). The rare pivoted fallback is gated behind
+    `lax.cond` so the common all-well-conditioned case skips its ~40
+    vector ops entirely (inv3x3/inv3x3_planar compute it always).
+
+    Returns (Vinv [3, 3, P], ok)."""
+    a, b, c = Vp[0, 0], Vp[0, 1], Vp[0, 2]
+    d, e, f = Vp[1, 1], Vp[1, 2], Vp[2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    det = a * co00 + b * co01 + c * co02
+    need_fallback = jnp.abs(det) < 1e-16
+    det_piv = jax.lax.cond(
+        jnp.any(need_fallback),
+        lambda: _pivoted_det3_rows(((a, b, c), (b, d, e), (c, e, f))),
+        lambda: det,
+    )
+    det_use = jnp.where(need_fallback, det_piv, det)
+    blk_ok = (det_use != 0.0) & jnp.isfinite(det_use)
+    ok = jnp.all(blk_ok)
+    inv_det = jnp.where(blk_ok, 1.0 / jnp.where(blk_ok, det_use, 1.0), 0.0)
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    Vinv = jnp.stack([
+        jnp.stack([co00, co01, co02], axis=0),
+        jnp.stack([co01, co11, co12], axis=0),
+        jnp.stack([co02, co12, co22], axis=0),
+    ], axis=0) * inv_det[None, None]
+    return Vinv, ok
+
+
+def damp_v_planar(Vp, mu):
+    """Additive diagonal damping on planar [3, 3, P] point blocks
+    (kern_update_UV's V half, CL_files/update_UV.cl) — one broadcast add."""
+    eye = jnp.eye(3, dtype=Vp.dtype)[:, :, None]
+    return Vp + mu * eye
+
+
+def max_diag_planar(U, Vp, n_pts):
+    """max over U and planar-V diagonals (levmar.cpp:113-115); padded
+    planar columns (>= n_pts) are excluded."""
+    du = jnp.max(jnp.diagonal(U, axis1=-2, axis2=-1))
+    dv = jnp.max(
+        jnp.stack([Vp[0, 0, :n_pts], Vp[1, 1, :n_pts], Vp[2, 2, :n_pts]])
+    )
+    return jnp.maximum(du, dv)
+
+
+def schur_S_dense3(U, ZW3, Vinv, psum=None):
+    """schur_S_dense on the 3-part planar factor from
+    ops.linearize_dense_pallas: ZW3 = (ZW0, ZW1, ZW2), each [6C, Pp],
+    ZWk[6c+i, p] = W_(c,p)[i, k]. ZY_j = sum_m ZW_m * Vinv[m, j] is nine
+    full-lane broadcast FMAs; S_off = sum_j ZY_j @ ZW_j^T is three MXU
+    matmuls (same FLOPs as the single [6C, 3P] contraction, no 17 MB
+    concat). Returns (S [6C, 6C], ZY3) with ZY3 reused downstream."""
+    C = U.shape[0]
+    ZY3 = tuple(
+        ZW3[0] * Vinv[0, j][None]
+        + ZW3[1] * Vinv[1, j][None]
+        + ZW3[2] * Vinv[2, j][None]
+        for j in range(3)
+    )
+    off = sum(
+        jnp.matmul(ZY3[j], ZW3[j].T, precision=_PREC) for j in range(3)
+    ).reshape(C, 6, C, 6)
+    if psum is not None:
+        off = psum(off)
+    S = -off
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(U)
+    return S.reshape(6 * C, 6 * C), ZY3
+
+
+def reduced_rhs_dense3(ga, gbp, ZY3, psum=None):
+    """ea = ga - ZY @ gb on the 3-part planar layout (kern_compute_ea);
+    gbp is [3, Pp]."""
+    term = sum(
+        jnp.matmul(ZY3[j], gbp[j], precision=_PREC) for j in range(3)
+    )
+    if psum is not None:
+        term = psum(term)
+    return ga - term.reshape(-1, 6)
+
+
+def back_substitute_dense3(gbp, ZW3, Vinv, dpa):
+    """eb_j = gb_j - ZW_j^T dpa; dpb_k = sum_j Vinv[j, k] eb_j
+    (kern_compute_eb + kern_compute_dpb, planar). Returns dpb [3, Pp]."""
+    v = dpa.reshape(-1)
+    eb = tuple(
+        gbp[j] - jnp.matmul(v, ZW3[j], precision=_PREC) for j in range(3)
+    )
+    return jnp.stack(
+        [
+            Vinv[0, k] * eb[0] + Vinv[1, k] * eb[1] + Vinv[2, k] * eb[2]
+            for k in range(3)
+        ],
+        axis=0,
+    )
+
+
 def y_blocks(W, Vinv, pt_idx):
     """Y_o = W_o Vinv_{i(o)}  [O,6,3] (kern_compute_Yblks)."""
     return jnp.einsum(

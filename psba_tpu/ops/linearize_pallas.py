@@ -266,12 +266,19 @@ def _prep_streams(K, q0, cams, pts, obs, cam_idx, pt_idx, valid):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_cams", "n_pts", "clamp", "want_jac")
+    jax.jit,
+    static_argnames=("n_cams", "n_pts", "clamp", "want_jac", "want_point",
+                     "want_w"),
 )
 def linearize_pallas(K, q0, cams, pts, obs, cam_idx, pt_idx, valid,
-                     n_cams, n_pts, clamp=False, want_jac=False):
+                     n_cams, n_pts, clamp=False, want_jac=False,
+                     want_point=True, want_w=True):
     """Fused linearization. Returns (ex [O,2], ex_l2, U, V, W, ga, gb,
     A or None, B or None) — coeff-free (callers scale per LM/TR convention).
+    `want_point=False` skips the point-side segment reduction (V/gb slots
+    are None) and `want_w=False` skips the W relayout — the dense planar
+    path gets all three from ops.linearize_dense_pallas and only needs
+    U/ga here.
     """
     kq0, obs_t, camv, X, camidx_t, valid_t, O = _prep_streams(
         K, q0, cams, pts, obs, cam_idx, pt_idx, valid
@@ -319,13 +326,16 @@ def linearize_pallas(K, q0, cams, pts, obs, cam_idx, pt_idx, valid,
     )(kq0, obs_t, camv, X, camidx_t, valid_t)
 
     ex = ex_t[:, :O].T
-    W = W_t[:, :O].T.reshape(O, 6, 3)
-    pt_pack = ptpack_t[:, :O].T                            # [O,12]
-    pt_red = jax.ops.segment_sum(
-        pt_pack, pt_idx, num_segments=n_pts, indices_are_sorted=True
-    )
-    V = pt_red[:, :9].reshape(n_pts, 3, 3)
-    gb = pt_red[:, 9:]
+    W = W_t[:, :O].T.reshape(O, 6, 3) if want_w else None
+    if want_point:
+        pt_pack = ptpack_t[:, :O].T                        # [O,12]
+        pt_red = jax.ops.segment_sum(
+            pt_pack, pt_idx, num_segments=n_pts, indices_are_sorted=True
+        )
+        V = pt_red[:, :9].reshape(n_pts, 3, 3)
+        gb = pt_red[:, 9:]
+    else:
+        V = gb = None
     U = camred[:36].T.reshape(C, 6, 6)
     ga = camred[36:].T
     A = A_t[:, :O].T.reshape(O, 2, 6) if want_jac else None

@@ -102,6 +102,9 @@ def _slice_local(sp: ShardedProblem, mesh: Mesh) -> ShardedProblem:
         pair_o2=take(sp.pair_o2, sp.n_per),
         pair_bucket=take(sp.pair_bucket, sp.n_per),
         blk=take(sp.blk, sp.p_per, axis=1),
+        obs_du=take(sp.obs_du, sp.p_per, axis=1),
+        obs_dv=take(sp.obs_dv, sp.p_per, axis=1),
+        valid_d=take(sp.valid_d, sp.p_per, axis=1),
     )
 
 
@@ -148,6 +151,21 @@ def _globalize(mesh: Mesh, sp: ShardedProblem, sp_local: ShardedProblem,
             if dense else None
         ),
         valid=gs(sp_local.valid, sp.o_per),
+        obs_du=(
+            g(sp_local.obs_du, P(None, AXIS),
+              (sp_local.obs_du.shape[0], D * sp.p_per))
+            if dense else None
+        ),
+        obs_dv=(
+            g(sp_local.obs_dv, P(None, AXIS),
+              (sp_local.obs_dv.shape[0], D * sp.p_per))
+            if dense else None
+        ),
+        valid_d=(
+            g(sp_local.valid_d, P(None, AXIS),
+              (sp_local.valid_d.shape[0], D * sp.p_per))
+            if dense else None
+        ),
     )
     cams0 = g(fdt(sp_local.cams), P())
     pts0 = gs(fdt(sp_local.pts), sp.p_per)

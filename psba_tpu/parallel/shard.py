@@ -61,6 +61,11 @@ class ShardedProblem:
     pair_bucket: np.ndarray | None = None  # [D*n_per]; C*C marks padding
     blk: np.ndarray | None = None  # [C, D*p_per] shard-local obs numbering;
     # o_per marks unseen cells (sharded on the point axis, dim 1)
+    # dense (cam x point) observation tables for the planar dense-grid
+    # Pallas linearization (see solvers/types.ProblemArrays)
+    obs_du: np.ndarray | None = None   # [C, D*p_per] f32
+    obs_dv: np.ndarray | None = None   # [C, D*p_per] f32
+    valid_d: np.ndarray | None = None  # [C, D*p_per] f32
 
 
 def shard_problem(prob: BAProblem, n_devices: int,
@@ -117,6 +122,7 @@ def shard_problem(prob: BAProblem, n_devices: int,
 
     obs, cam_idx, pt_idx, valid, pts, pt_valid = [], [], [], [], [], []
     po1, po2, pbk, blks = [], [], [], []
+    odus, odvs, vds = [], [], []
     for s in shards:
         n_o, n_p = len(s["cam_idx"]), len(s["pts"])
         if dense:
@@ -125,6 +131,12 @@ def shard_problem(prob: BAProblem, n_devices: int,
             b = np.full((C, p_per), o_per, dtype=np.int32)
             b[s["cam_idx"], s["pt_idx"]] = np.arange(n_o, dtype=np.int32)
             blks.append(b)
+            from psba_tpu.ops.linearize_dense import dense_obs_tables
+
+            du, dv, vd = dense_obs_tables(b, s["obs"], o_per)
+            odus.append(du)
+            odvs.append(dv)
+            vds.append(vd)
         # padded observations duplicate the shard's first observation so the
         # residual stays finite; `valid` masks them out of every reduction
         obs.append(pad(s["obs"], o_per, fill=0) if n_o == o_per else
@@ -150,6 +162,9 @@ def shard_problem(prob: BAProblem, n_devices: int,
         pair_o2=None if dense else cat(po2).astype(np.int32),
         pair_bucket=None if dense else cat(pbk).astype(np.int32),
         blk=np.concatenate(blks, axis=1) if dense else None,
+        obs_du=np.concatenate(odus, axis=1) if dense else None,
+        obs_dv=np.concatenate(odvs, axis=1) if dense else None,
+        valid_d=np.concatenate(vds, axis=1) if dense else None,
         pt_starts=pt_starts,
     )
 
@@ -182,6 +197,8 @@ def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
             pair_bucket=opt(sp.pair_bucket),
             blk_idx=opt(sp.blk),
             valid=jnp.asarray(sp.valid),
+            obs_du=opt(sp.obs_du), obs_dv=opt(sp.obs_dv),
+            valid_d=opt(sp.valid_d),
         )
         pts0 = fdt(sp.pts)
         cams0 = fdt(sp.cams)
@@ -193,6 +210,9 @@ def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
         pair_bucket=None if dense else P(AXIS),
         blk_idx=P(None, AXIS) if dense else None,  # point axis is dim 1
         valid=P(AXIS),
+        obs_du=P(None, AXIS) if dense else None,
+        obs_dv=P(None, AXIS) if dense else None,
+        valid_d=P(None, AXIS) if dense else None,
     )
     # history rows are built entirely from psum'd (replicated) scalars, so
     # the capture buffer is replicated across shards

@@ -37,16 +37,23 @@ from psba_tpu.core.residual import error_l2, error_l2_diff, residuals
 from psba_tpu.core.schur import (
     back_substitute,
     back_substitute_dense,
+    back_substitute_dense3,
+    damp_v_planar,
     inv3x3,
     inv3x3_planar,
+    inv3x3_planar3,
+    max_diag_planar,
     planar_gb,
     reduced_rhs,
     reduced_rhs_dense,
+    reduced_rhs_dense3,
     schur_S,
     schur_S_dense,
+    schur_S_dense3,
     stack_blocks,
     y_blocks,
 )
+from psba_tpu.ops.linearize_dense import linearize_dense_pallas
 from psba_tpu.ops.linearize_pallas import (
     linearize_pallas,
     residual_l2_pallas,
@@ -150,15 +157,35 @@ def lm_run(
     # pair-stream Pallas S kernel is gather-bound and only wins when
     # explicitly requested (see ops/schur_pallas.py).
     dense = pa.blk_idx is not None
+    # fully planar dense path: ZW/V/gb born planar from the dense-grid
+    # kernel (ops.linearize_dense_pallas) — no stack_blocks gather, no
+    # [P, 3, 3] relayouts anywhere in the damping-retry loop
+    dense3 = dense and pallas and pa.obs_du is not None
     s_backend = "pallas" if cfg.backend == "pallas" else "xla"
     # collective for the O(C^2) S assembly (cfg.s_reduce)
     s_psum = ctx.psum_rs if cfg.s_reduce == "scatter" else ctx.psum
 
     def outer_body(s: _Outer):
-        if pallas:
+        P_loc = s.pts.shape[0]
+        if dense3:
+            # U/ga ride the obs-stream kernel (one-hot MXU reduction);
+            # ZW/V/gb are born planar from the dense-grid kernel — the
+            # whole retry loop below is full-lane planar, gather-free
+            _ex_k, _l2, U, _, _, ga, _, _, _ = linearize_pallas(
+                pa.K, pa.q0, s.cams, s.pts, pa.obs, pa.cam_idx, pa.pt_idx,
+                pa.valid, C, P_loc, clamp=cfg.clamp_quat,
+                want_point=False, want_w=False,
+            )
+            ZW0, ZW1, ZW2, Vp, gbp3, _Pp = linearize_dense_pallas(
+                pa.K, pa.q0, s.cams, s.pts, pa.obs_du, pa.obs_dv,
+                pa.valid_d, clamp=cfg.clamp_quat,
+            )
+            ZW3 = (ZW0, ZW1, ZW2)
+            gb = gbp3[:, :P_loc].T              # [P, 3] for denominators
+        elif pallas:
             _ex_k, _l2, U, V, W, ga, gb, _, _ = linearize_pallas(
                 pa.K, pa.q0, s.cams, s.pts, pa.obs, pa.cam_idx, pa.pt_idx,
-                pa.valid, C, s.pts.shape[0], clamp=cfg.clamp_quat,
+                pa.valid, C, P_loc, clamp=cfg.clamp_quat,
             )
         else:
             A, B = jacobians(
@@ -166,29 +193,39 @@ def lm_run(
                 clamp=cfg.clamp_quat,
             )
             U, V, W, ga, gb = assemble_blocks(
-                A, B, s.ex, pa.cam_idx, pa.pt_idx, C, s.pts.shape[0],
+                A, B, s.ex, pa.cam_idx, pa.pt_idx, C, P_loc,
                 coeff=1.0, valid=pa.valid,
             )
         U = ctx.psum(U)
         ga = ctx.psum(ga)
-        if dense:
+        if dense and not dense3:
             # loop-invariant across damping retries: W is fixed per outer
             # iteration, so the gather happens once; every retry below is
             # pure dense matmuls against the planar ZW [6C, 3P]
             ZW = stack_blocks(W, pa.blk_idx)
             gbp = planar_gb(gb)
         # first-iteration damping seed (levmar.cpp:113-120)
-        mu = jnp.where(s.first, cfg.tau * ctx.pmax(max_diag(U, V)), s.mu)
+        md = (
+            max_diag_planar(U, Vp, P_loc) if dense3 else max_diag(U, V)
+        )
+        mu = jnp.where(s.first, cfg.tau * ctx.pmax(md), s.mu)
         nu = jnp.where(s.first, 2.0, s.nu)
         p_l2 = jnp.where(s.first, 1e3, s.p_l2)
 
         def inner_body(t: _Inner):
-            U_d, V_d = damp_uv(U, V, t.mu)
-            if dense:
-                Vp, vok = inv3x3_planar(V_d)
-                S, ZY = schur_S_dense(U_d, ZW, Vp, psum=s_psum)
+            if dense3:
+                U_d = U + t.mu * jnp.eye(6, dtype=dtype)
+                Vp_d = damp_v_planar(Vp, t.mu)
+                Vinv3, vok = inv3x3_planar3(Vp_d)
+                S, ZY3 = schur_S_dense3(U_d, ZW3, Vinv3, psum=s_psum)
+                ea = reduced_rhs_dense3(ga, gbp3, ZY3, psum=ctx.psum)
+            elif dense:
+                U_d, V_d = damp_uv(U, V, t.mu)
+                Vpl, vok = inv3x3_planar(V_d)
+                S, ZY = schur_S_dense(U_d, ZW, Vpl, psum=s_psum)
                 ea = reduced_rhs_dense(ga, gbp, ZY, psum=ctx.psum)
             else:
+                U_d, V_d = damp_uv(U, V, t.mu)
                 Vinv, vok = inv3x3(V_d)
                 Y = y_blocks(W, Vinv, pa.pt_idx)
                 S = schur_S(
@@ -203,8 +240,11 @@ def lm_run(
             # Cholesky failure -> mu*nu escalation (levmar.cpp:227-244)
             ok = ok & ctx.pand(vok)
             dpa = dpa_flat.reshape(C, 6)
-            if dense:
-                _ebp, dpb = back_substitute_dense(gbp, ZW, Vp, dpa)
+            if dense3:
+                dpb3 = back_substitute_dense3(gbp3, ZW3, Vinv3, dpa)
+                dpb = dpb3[:, :t.pts.shape[0]].T
+            elif dense:
+                _ebp, dpb = back_substitute_dense(gbp, ZW, Vpl, dpa)
             else:
                 _eb, dpb = back_substitute(
                     gb, W, Vinv, dpa, pa.cam_idx, pa.pt_idx, t.pts.shape[0]

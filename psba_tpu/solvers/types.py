@@ -72,6 +72,12 @@ class ProblemArrays(NamedTuple):
     pair_bucket: jnp.ndarray | None = None  # [N]
     blk_idx: jnp.ndarray | None = None      # [C, P]
     valid: jnp.ndarray | None = None  # [O] mask for padded observations
+    # dense (cam x point) observation tables for the planar dense-grid
+    # Pallas linearization (ops.linearize_dense_pallas); present iff
+    # blk_idx is (static data, scattered once at build time)
+    obs_du: jnp.ndarray | None = None       # [C, P] f32 measurements (u)
+    obs_dv: jnp.ndarray | None = None       # [C, P] f32 measurements (v)
+    valid_d: jnp.ndarray | None = None      # [C, P] f32 cell mask
 
     @staticmethod
     def from_problem(prob, dtype=None, schur="auto"):
@@ -90,6 +96,16 @@ class ProblemArrays(NamedTuple):
             if np.issubdtype(a.dtype, np.floating) else jnp.asarray(a)
         )
         opt = lambda a: None if a is None else jnp.asarray(a)
+        obs_du = obs_dv = valid_d = None
+        if prob.blk_idx is not None:
+            from psba_tpu.ops.linearize_dense import dense_obs_tables
+
+            du, dv, vd = dense_obs_tables(
+                prob.blk_idx, prob.obs, prob.n_obs
+            )
+            obs_du, obs_dv, valid_d = (
+                jnp.asarray(du), jnp.asarray(dv), jnp.asarray(vd)
+            )
         return ProblemArrays(
             K=cast(prob.K), q0=cast(prob.q0), obs=cast(prob.obs),
             cam_idx=jnp.asarray(prob.cam_idx),
@@ -98,6 +114,7 @@ class ProblemArrays(NamedTuple):
             pair_o2=opt(prob.pair_o2),
             pair_bucket=opt(prob.pair_bucket),
             blk_idx=opt(prob.blk_idx),
+            obs_du=obs_du, obs_dv=obs_dv, valid_d=valid_d,
         )
 
     @property

@@ -135,3 +135,52 @@ def test_solver_pallas_backend_cpu(prob_synth):
     res_p = solve(prob_synth, SolverConfig.for_dtype(
         jnp.float32, backend="pallas"), dtype=jnp.float32)
     assert res_p.final_l2 < 1.05 * res_x.final_l2
+
+
+def test_linearize_dense_matches_xla(prob_synth):
+    """Dense-grid kernel (ops.linearize_dense_pallas): ZW/V/gb must match
+    the XLA jacobian + assemble_blocks + stack_blocks route."""
+    from psba_tpu.core.schur import stack_blocks
+    from psba_tpu.ops.linearize_dense import linearize_dense_pallas
+    from psba_tpu.solvers.types import ProblemArrays
+
+    p = prob_synth.with_blk()
+    f32 = jnp.float32
+    pa = ProblemArrays.from_problem(p, dtype=f32, schur="dense")
+    cams = jnp.asarray(p.cams, f32)
+    pts = jnp.asarray(p.pts, f32)
+    C, P = p.n_cams, p.n_pts
+
+    ZW0, ZW1, ZW2, Vp, gbp, Pp = linearize_dense_pallas(
+        pa.K, pa.q0, cams, pts, pa.obs_du, pa.obs_dv, pa.valid_d
+    )
+
+    A, B = jacobians(pa.K, pa.q0, cams, pts, pa.cam_idx, pa.pt_idx)
+    ex = residuals(pa.K, pa.q0, cams, pts, pa.obs, pa.cam_idx, pa.pt_idx)
+    _U, V, W, _ga, gb = assemble_blocks(
+        A, B, ex, pa.cam_idx, pa.pt_idx, C, P, coeff=1.0
+    )
+    ZWr = stack_blocks(W, pa.blk_idx).reshape(6 * C, 3, P)
+
+    rel = lambda a, b: float(
+        jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30)
+    )
+    for k, Zk in enumerate((ZW0, ZW1, ZW2)):
+        assert rel(Zk[:, :P], ZWr[:, k, :]) < 1e-5
+        # padded planar columns must be exactly zero
+        assert float(jnp.max(jnp.abs(Zk[:, P:]))) == 0.0 if Pp > P else True
+    assert rel(Vp[:, :, :P], jnp.transpose(V, (1, 2, 0))) < 1e-5
+    assert rel(gbp[:, :P], gb.T) < 1e-3  # cancellation (see ga/gb above)
+    assert float(jnp.max(jnp.abs(gbp[:, P:]))) == 0.0 if Pp > P else True
+
+
+def test_solver_pallas_dense3_sharded(prob_synth):
+    """Dense-grid planar path under shard_map (4 virtual devices)."""
+    from psba_tpu.parallel.shard import solve_sharded
+    from psba_tpu.solvers import SolverConfig
+    from psba_tpu.solvers.hybrid import solve
+
+    cfg = SolverConfig.for_dtype(jnp.float32, backend="pallas")
+    r1 = solve(prob_synth, cfg, dtype=jnp.float32)
+    r4 = solve_sharded(prob_synth, cfg, n_devices=4, dtype=jnp.float32)
+    np.testing.assert_allclose(r4.final_l2, r1.final_l2, rtol=1e-4)
