@@ -19,17 +19,16 @@ sys.path.insert(
 import jax
 import jax.numpy as jnp
 
-from psba_tpu.core.hessian import damp_uv
 from psba_tpu.core.linalg import spd_solve
 from psba_tpu.core.schur import (
-    back_substitute_dense,
-    inv3x3_planar,
-    planar_gb,
-    reduced_rhs_dense,
-    schur_S_dense,
-    stack_blocks,
+    back_substitute_dense3,
+    damp_v_planar,
+    inv3x3_planar3,
+    reduced_rhs_dense3,
+    schur_S_dense3,
 )
 from psba_tpu.io import load_problem
+from psba_tpu.ops.linearize_dense import linearize_dense_pallas
 from psba_tpu.ops.linearize_pallas import linearize_pallas, residual_l2_pallas
 from psba_tpu.solvers.types import ProblemArrays
 
@@ -71,42 +70,48 @@ def main():
     C, P = pa.n_cams, pts.shape[0]
     seed = jnp.asarray(0.0, dtype)
 
-    # materialize intermediates once
-    ex, l2, U, V, W, ga, gb, _, _ = linearize_pallas(
-        pa.K, pa.q0, cams, pts, pa.obs, pa.cam_idx, pa.pt_idx, pa.valid, C, P
+    # materialize intermediates once (planar dense3 pipeline, solvers/lm.py)
+    ex, l2, U, _, _, ga, _, _, _ = linearize_pallas(
+        pa.K, pa.q0, cams, pts, pa.obs, pa.cam_idx, pa.pt_idx, pa.valid,
+        C, P, want_point=False, want_w=False,
     )
-    ZW = stack_blocks(W, pa.blk_idx)
-    gbp = planar_gb(gb)
+    ZW0, ZW1, ZW2, Vp0, gbp3, _Pp = linearize_dense_pallas(
+        pa.K, pa.q0, cams, pts, pa.obs_du, pa.obs_dv, pa.valid_d
+    )
+    ZW3 = (ZW0, ZW1, ZW2)
     mu = jnp.asarray(1e-3, dtype)
-    U_d, V_d = damp_uv(U, V, mu)
-    Vp, _ = inv3x3_planar(V_d)
-    S, ZY = schur_S_dense(U_d, ZW, Vp)
-    ea = reduced_rhs_dense(ga, gbp, ZY)
+    U_d = U + mu * jnp.eye(6, dtype=dtype)
+    Vp_d = damp_v_planar(Vp0, mu)
+    Vinv3, _ = inv3x3_planar3(Vp_d)
+    S, ZY3 = schur_S_dense3(U_d, ZW3, Vinv3)
+    ea = reduced_rhs_dense3(ga, gbp3, ZY3)
     dpa_flat, ok = spd_solve(S, ea.reshape(-1))
     dpa = dpa_flat.reshape(C, 6)
 
     stages = {
         "linearize_pallas": lambda e: linearize_pallas(
             pa.K, pa.q0, cams + e, pts, pa.obs, pa.cam_idx, pa.pt_idx,
-            pa.valid, C, P,
+            pa.valid, C, P, want_point=False, want_w=False,
         )[1],
+        "linearize_dense": lambda e: jnp.sum(linearize_dense_pallas(
+            pa.K, pa.q0, cams + e, pts, pa.obs_du, pa.obs_dv, pa.valid_d,
+        )[0]),
         "residual_l2_pallas": lambda e: residual_l2_pallas(
             pa.K, pa.q0, cams + e, pts, pa.obs, pa.cam_idx, pa.pt_idx,
             pa.valid,
         )[1],
-        "stack_blocks": lambda e: jnp.sum(stack_blocks(W + e, pa.blk_idx)),
-        "inv3x3": lambda e: jnp.sum(inv3x3_planar(V_d + e)[0]),
+        "inv3x3": lambda e: jnp.sum(inv3x3_planar3(Vp_d + e)[0]),
         "schur_S_dense": lambda e: jnp.sum(
-            schur_S_dense(U_d, ZW + e, Vp)[0]
+            schur_S_dense3(U_d, (ZW0 + e, ZW1, ZW2), Vinv3)[0]
         ),
         "reduced_rhs_dense": lambda e: jnp.sum(
-            reduced_rhs_dense(ga + e, gbp, ZY)
+            reduced_rhs_dense3(ga + e, gbp3, ZY3)
         ),
         "spd_solve": lambda e: jnp.sum(spd_solve(S, ea.reshape(-1) + e)[0]),
         "back_substitute": lambda e: jnp.sum(
-            back_substitute_dense(gbp, ZW, Vp, dpa + e)[1]
+            back_substitute_dense3(gbp3, ZW3, Vinv3, dpa + e)
         ),
-        "damp_uv": lambda e: jnp.sum(damp_uv(U, V, mu + e)[0]),
+        "damp_uv": lambda e: jnp.sum(damp_v_planar(Vp0, mu + e)),
     }
     from psba_tpu.utils.roofline import lm_stage_costs, V5E
 

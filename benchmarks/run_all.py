@@ -46,26 +46,36 @@ def bench_dataset(name, dtype, iters=10):
         solve_wall_s=round(res.wall_s, 3),
     )
 
-    # fixed-work LM iteration timing
+    # fixed-work LM iteration timing — MARGINAL method (bench.py): the
+    # dynamic iter_cap reuses one compilation for both run lengths, so
+    # (t(N2) - t(N1)) / (N2 - N1) isolates device compute from the fixed
+    # per-dispatch tunnel latency
+    n1, n2 = 2, iters
     cfg = SolverConfig.for_dtype(
-        dtype, max_iters=iters, stop_thresh=1e-30, lm_switch_count=10_000
+        dtype, max_iters=n2, stop_thresh=1e-30, lm_switch_count=10_000
     )
     pa = ProblemArrays.from_problem(prob, dtype=dtype)
     cams = jnp.asarray(prob.cams, dtype)
     pts = jnp.asarray(prob.pts, dtype)
     state0 = OptState.init(pa, cams, pts)
     run = jax.jit(lm_run, static_argnames=("cfg",))
-    out = run(pa, state0, cfg)
-    out.ex_l2.block_until_ready()
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = run(pa, state0, cfg)
+
+    def timed(cap):
+        out = run(pa, state0, cfg, iter_cap=jnp.int32(cap))
         out.ex_l2.block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    it = int(out.itno)
-    row["lm_iter_ms"] = round(min(ts) / max(it, 1) * 1e3, 3)
-    row["obs_per_s"] = int(prob.n_obs * it / min(ts))
+        assert int(out.itno) == cap
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(pa, state0, cfg, iter_cap=jnp.int32(cap))
+            out.ex_l2.block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, t2 = timed(n1), timed(n2)
+    ms = (t2 - t1) / (n2 - n1) * 1e3
+    row["lm_iter_ms"] = round(ms, 3)
+    row["obs_per_s"] = int(prob.n_obs / (ms * 1e-3))
     return row
 
 

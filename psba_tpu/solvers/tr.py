@@ -39,16 +39,22 @@ from psba_tpu.core.residual import error_l2, error_l2_diff, residuals
 from psba_tpu.core.schur import (
     back_substitute,
     back_substitute_dense,
+    back_substitute_dense3,
+    damp_v_planar,
     inv3x3,
     inv3x3_planar,
+    inv3x3_planar3,
     planar_gb,
     reduced_rhs,
     reduced_rhs_dense,
+    reduced_rhs_dense3,
     schur_S,
     schur_S_dense,
+    schur_S_dense3,
     stack_blocks,
     y_blocks,
 )
+from psba_tpu.ops.linearize_dense import linearize_dense_pallas
 from psba_tpu.ops.linearize_pallas import (
     linearize_pallas,
     residual_l2_pallas,
@@ -192,13 +198,35 @@ def tr_run(
     # Schur encoding dispatch as in psba_tpu.solvers.lm: dense blk_idx
     # stacking when present in pa, covisibility pair list otherwise
     dense = pa.blk_idx is not None
+    # fully planar dense path (see solvers/lm.py dense3)
+    dense3 = dense and pallas and pa.obs_du is not None
     s_backend = "pallas" if cfg.backend == "pallas" else "xla"
     # collective for the O(C^2) S assembly (cfg.s_reduce)
     s_psum = ctx.psum_rs if cfg.s_reduce == "scatter" else ctx.psum
 
     def outer_body(s: _Outer):
         # B-blocks carry coeff 2, g = -(2 J^T ex) (trust_region.cpp:122-137)
-        if pallas:
+        if dense3:
+            # A/B (for jmultiply) + U/ga from the obs-stream kernel;
+            # ZW/V/gb born planar from the dense-grid kernel
+            _ex_k, _l2, U1, _, _, ga1, _, A, B = linearize_pallas(
+                pa.K, pa.q0, s.cams, s.pts, pa.obs, pa.cam_idx, pa.pt_idx,
+                pa.valid, C, P, clamp=cfg.clamp_quat, want_jac=True,
+                want_point=False, want_w=False,
+            )
+            ZW0, ZW1, ZW2, Vp1, gbp1, _Pp = linearize_dense_pallas(
+                pa.K, pa.q0, s.cams, s.pts, pa.obs_du, pa.obs_dv,
+                pa.valid_d, clamp=cfg.clamp_quat,
+            )
+            # every Schur-system block carries the TR coeff 2 (B = 2 J^T J,
+            # trust_region.cpp:122-137): U, V, W, and g alike — the kernel
+            # emits coeff-free blocks, so ZW is scaled here too
+            U = 2.0 * U1
+            Vp = 2.0 * Vp1
+            ZW3 = (2.0 * ZW0, 2.0 * ZW1, 2.0 * ZW2)
+            ga2 = 2.0 * ga1
+            gb2 = (2.0 * gbp1)[:, :P].T
+        elif pallas:
             _ex_k, _l2, U1, V1, W1, ga1, gb1, A, B = linearize_pallas(
                 pa.K, pa.q0, s.cams, s.pts, pa.obs, pa.cam_idx, pa.pt_idx,
                 pa.valid, C, P, clamp=cfg.clamp_quat, want_jac=True,
@@ -216,7 +244,10 @@ def tr_run(
             )
         U = ctx.psum(U)
         g_c, g_p = -ctx.psum(ga2), -gb2
-        if dense:
+        if dense3:
+            # planar point gradient for the retry loop (scaled like g_p)
+            g_pp3 = -2.0 * gbp1
+        elif dense:
             # loop-invariant across the lambda-escalation retries below
             ZW = stack_blocks(W, pa.blk_idx)
             g_pp = planar_gb(g_p)
@@ -233,12 +264,19 @@ def tr_run(
             return (~t.solved) & (~t.failed_out) & (t.tries < 64)
 
         def solve_body(t: _SolveCarry):
-            U_d, V_d = damp_uv(U, V, t.lam)
-            if dense:
-                Vp, vok = inv3x3_planar(V_d)
-                S, ZY = schur_S_dense(U_d, ZW, Vp, psum=s_psum)
+            if dense3:
+                U_d = U + t.lam * jnp.eye(6, dtype=dtype)
+                Vp_d = damp_v_planar(Vp, t.lam)
+                Vinv3, vok = inv3x3_planar3(Vp_d)
+                S, ZY3 = schur_S_dense3(U_d, ZW3, Vinv3, psum=s_psum)
+                ea = reduced_rhs_dense3(g_c, g_pp3, ZY3, psum=ctx.psum)
+            elif dense:
+                U_d, V_d = damp_uv(U, V, t.lam)
+                Vpl, vok = inv3x3_planar(V_d)
+                S, ZY = schur_S_dense(U_d, ZW, Vpl, psum=s_psum)
                 ea = reduced_rhs_dense(g_c, g_pp, ZY, psum=ctx.psum)
             else:
+                U_d, V_d = damp_uv(U, V, t.lam)
                 Vinv, vok = inv3x3(V_d)
                 Y = y_blocks(W, Vinv, pa.pt_idx)
                 S = schur_S(
@@ -253,8 +291,12 @@ def tr_run(
             # Cholesky failure (compute_PB :341-371)
             ok = ok & ctx.pand(vok)
             dpa = dpa_flat.reshape(C, 6)
-            if dense:
-                _ebp, dpb = back_substitute_dense(g_pp, ZW, Vp, dpa)
+            if dense3:
+                dpb = back_substitute_dense3(
+                    g_pp3, ZW3, Vinv3, dpa
+                )[:, :P].T
+            elif dense:
+                _ebp, dpb = back_substitute_dense(g_pp, ZW, Vpl, dpa)
             else:
                 _eb, dpb = back_substitute(
                     g_p, W, Vinv, dpa, pa.cam_idx, pa.pt_idx, P

@@ -121,21 +121,23 @@ def lm_stage_costs(C: int, P: int, O: int, itemsize: int = 4,
         flops_mxu=2.0 * 42 * C * Op,
         flops_vpu=500.0 * Op,
     )
-    # --- point-side segment sum of the [O,12] pack into V|gb
-    costs["pt_segment_sum"] = StageCost(
-        "pt_segment_sum", bytes=(12 * O + 12 * P) * b, flops_vpu=12.0 * O
-    )
-    # --- stack_blocks: gather W[O,18] rows into the planar ZW [6C,3P]
-    costs["stack_blocks"] = StageCost(
-        "stack_blocks", bytes=(18 * O + 18 * C * P) * b
+    # --- linearize_dense_pallas: dense (C x point-tile) grid; reads the
+    # point coordinates once per camera row plus the three dense obs
+    # tables, writes the planar ZW (18C rows of P) + V pack (12 rows);
+    # ~260 VPU flops per (c, p) cell for forward model + Jacobian + packs
+    costs["linearize_dense"] = StageCost(
+        "linearize_dense",
+        bytes=(3 * C * P + 3 * P + (18 * C + 12) * P) * b,
+        flops_vpu=260.0 * C * P,
     )
     # --- per-retry chain -------------------------------------------------
     costs["damp_uv"] = StageCost(
         "damp_uv", bytes=(2 * (36 * C + 9 * P)) * b, flops_vpu=6 * C + 3 * P
     )
-    # closed-form cofactor inverse + always-computed pivoted-det fallback
+    # closed-form cofactor inverse; the pivoted-det fallback is gated
+    # behind lax.cond (inv3x3_planar3) and absent in the steady state
     costs["inv3x3"] = StageCost(
-        "inv3x3", bytes=(9 * P + 9 * P) * b, flops_vpu=110.0 * P
+        "inv3x3", bytes=(9 * P + 9 * P) * b, flops_vpu=60.0 * P
     )
     # ZY = ZW Vinv (broadcast FMA, reads ZW+Vinv writes ZY) then the big
     # [6C,3P]x[3P,6C] MXU contraction reading ZY+ZW, writing S
@@ -178,7 +180,7 @@ def lm_stage_costs(C: int, P: int, O: int, itemsize: int = 4,
 
 
 # stages that run once per outer iteration vs once per damping retry
-OUTER_STAGES = ("linearize_pallas", "pt_segment_sum", "stack_blocks")
+OUTER_STAGES = ("linearize_pallas", "linearize_dense")
 RETRY_STAGES = (
     "damp_uv", "inv3x3", "schur_S_dense", "reduced_rhs_dense", "spd_solve",
     "back_substitute", "residual_l2_pallas", "accept_bookkeeping",

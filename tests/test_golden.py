@@ -119,3 +119,22 @@ def test_golden_f32_polish_recovers(name):
         dtype=jnp.float32, polish_iters=300 if name == "5cams" else 30,
     )
     np.testing.assert_allclose(res.final_error, g["final_error"], rtol=1e-5)
+
+
+@requires_data
+@pytest.mark.parametrize("name", ["7camsvarK", "54camsvarKD"])
+def test_golden_f32_pallas_backend(name):
+    """The forced-pallas path (dense-grid planar kernels, interpret mode
+    on CPU, Mosaic on TPU) must land within 10% of the f64 optimum — CI
+    coverage for the kernels the CPU `auto` backend never selects. This
+    gate catches scale/layout bugs in the dense3 LM *and* TR paths (the
+    hybrid switches into TR on these datasets)."""
+    import jax.numpy as jnp
+
+    g = GOLDEN[name]
+    res = solve(
+        datasets.load(name),
+        SolverConfig.for_dtype(jnp.float32, backend="pallas"),
+        dtype=jnp.float32,
+    )
+    assert res.final_error <= 1.10 * g["final_error"]
