@@ -173,20 +173,22 @@ def _globalize(mesh: Mesh, sp: ShardedProblem, sp_local: ShardedProblem,
 
 
 def solve_distributed(prob: BAProblem, cfg: SolverConfig | None = None,
-                      mesh: Mesh | None = None, dtype=None, start="lm"):
+                      mesh: Mesh | None = None, dtype=None, start="lm",
+                      schur="auto"):
     """Hybrid solve over a (possibly process-spanning) mesh.
 
     Every process calls this with the same `prob` metadata; partitioning is
     deterministic, and each process materializes device data only for its
     own shards. The host alternation reads replicated scalars, which are
-    addressable on every process."""
+    addressable on every process. `schur` in {"auto", "dense", "pairs"}
+    picks the per-shard S-assembly encoding (parallel.shard.shard_problem)."""
     from psba_tpu.solvers.hybrid import SolveResult
 
     cfg = cfg or SolverConfig()
     mesh = mesh or global_mesh()
     n_devices = int(np.prod(mesh.devices.shape))
 
-    sp = shard_problem(prob, n_devices)
+    sp = shard_problem(prob, n_devices, schur=schur)
     sp_local = _slice_local(sp, mesh)
     pa, cams0, pts0 = _globalize(mesh, sp, sp_local, dtype=dtype)
 

@@ -1,6 +1,12 @@
 """Multi-process distributed-solve worker (launched by test_distributed).
 
-Usage: python tests/_dist_worker.py PROCESS_ID NUM_PROCESSES PORT OUT_JSON
+Usage: python tests/_dist_worker.py PROCESS_ID NUM_PROCESSES PORT OUT_JSON \
+           [SCHUR] [S_REDUCE]
+
+SCHUR in {auto, dense, pairs} picks the S-assembly encoding; S_REDUCE in
+{psum, scatter} picks the collective for the S off-diagonal sum
+(reduce_scatter + all_gather when "scatter") — both exercised across
+REAL process boundaries here.
 
 Each process owns 2 virtual CPU devices; jax.distributed coordinates the
 processes so the mesh spans NUM_PROCESSES * 2 devices, exactly the shape of
@@ -13,6 +19,8 @@ import sys
 pid, nproc, port, out = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
 )
+schur = sys.argv[5] if len(sys.argv) > 5 else "auto"
+s_reduce = sys.argv[6] if len(sys.argv) > 6 else "psum"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
@@ -37,7 +45,9 @@ init_distributed(f"localhost:{port}", nproc, pid)
 assert jax.process_count() == nproc, jax.process_count()
 
 prob = synthetic_problem(n_cams=6, n_pts=150, seed=3)
-res = solve_distributed(prob, SolverConfig(), mesh=global_mesh())
+res = solve_distributed(
+    prob, SolverConfig(s_reduce=s_reduce), mesh=global_mesh(), schur=schur
+)
 
 with open(out, "w") as f:
     json.dump({
@@ -49,4 +59,6 @@ with open(out, "w") as f:
         "iterations": res.iterations,
         "flag": res.flag_name,
         "local_pts_rows": int(res.pts.shape[0]),
+        "schur": schur,
+        "s_reduce": s_reduce,
     }, f)
