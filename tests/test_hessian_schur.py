@@ -254,3 +254,25 @@ def test_gmw_perturbation():
     assert w.min() > 0, w.min()
     lam = float(gmw_bootstrap_lambda(jnp.array(A_ind)))
     assert lam > 0
+
+
+def test_gmw_blocked_matches_unblocked():
+    """Blocked right-looking GMW (panel + MXU trailing update) must
+    reproduce the column recurrence's E exactly, and A + diag(E) must be
+    PSD — including non-multiple-of-block sizes (identity-tail padding)."""
+    import numpy as np
+
+    from psba_tpu.core.gmw import (
+        gmw_perturbation,
+        gmw_perturbation_blocked,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in (5, 16, 33, 126, 130):
+        M = rng.standard_normal((n, n))
+        A = jnp.asarray((M + M.T) / 2 - 0.1 * n * np.eye(n))
+        E1 = np.asarray(gmw_perturbation(A))
+        E2 = np.asarray(gmw_perturbation_blocked(A, 16))
+        np.testing.assert_allclose(E2, E1, rtol=1e-12, atol=1e-12)
+        w = np.linalg.eigvalsh(np.asarray(A) + np.diag(E2))
+        assert w.min() > -1e-8
