@@ -87,7 +87,8 @@ def load(name: str, data_dir: str | None = None, seed: int = 0,
         )
     cache = None
     if cache_dir:
-        cache = os.path.join(cache_dir, f"{name}_s{seed}.npz")
+        cache = os.path.join(cache_dir, f"{name}_s{seed}_v2.npz")
+        # v2: depth-aware initial-point jitter (io/synthetic.py)
         if os.path.exists(cache):
             with np.load(cache) as z:
                 prob = BAProblem(

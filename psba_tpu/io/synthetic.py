@@ -202,7 +202,19 @@ def synthesize_points_for_cams(
         axis=1,
     )
     obs = uv + noise_px * rng.standard_normal(uv.shape)
-    pts0 = X * (1.0 + point_jitter * rng.standard_normal(X.shape))
+    # depth-aware initial jitter: scale each point's perturbation by its
+    # minimum |depth| across observed cameras, not by its world-coordinate
+    # norm — a norm-relative jitter can push a near-plane point across
+    # z = 0 (and BAL sets carry cameras with focal lengths up to ~1.6e6
+    # that turn any angular error into millions of pixels; dubrovnik88
+    # produced 6.6e9 px initial residuals and f32 overflow that way).
+    # With depth scaling the initial angular error is bounded by
+    # point_jitter for every camera.
+    min_depth = np.full(len(X), np.inf)
+    np.minimum.at(min_depth, pt_idx, np.abs(pc[:, 2]))
+    pts0 = X + (
+        point_jitter * min_depth[:, None] * rng.standard_normal(X.shape)
+    )
 
     prob = BAProblem(
         K=K, q0=q0,
