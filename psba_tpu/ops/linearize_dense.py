@@ -248,4 +248,14 @@ def linearize_dense_pallas(K, q0, cams, pts, obs_du, obs_dv, valid_d,
     vp = vpack.reshape(12, Pp)
     Vp = vp[:9].reshape(3, 3, Pp)
     gbp = vp[9:]
+    if Pp != P:
+        # Seed padded lanes (p >= P) with identity V blocks: their ZW/gb
+        # columns are zero so they contribute nothing downstream, but an
+        # all-zero block would (a) force inv3x3_planar3's ok=False at
+        # mu=0, making the undamped GN solve always "fail", and (b) trip
+        # its pivoted-det fallback cond once mu^3 < 1e-16. Identity keeps
+        # det in [1, (1+mu)^3]: always ok, never near the fallback gate.
+        pad = (jnp.arange(Pp) >= P)[None, None, :]
+        eye = jnp.eye(3, dtype=f32)[:, :, None]
+        Vp = jnp.where(pad, eye, Vp)
     return ZW0, ZW1, ZW2, Vp, gbp, Pp

@@ -174,6 +174,39 @@ def test_linearize_dense_matches_xla(prob_synth):
     assert float(jnp.max(jnp.abs(gbp[:, P:]))) == 0.0 if Pp > P else True
 
 
+def test_dense_padded_lanes_identity(prob_synth):
+    """Padded planar V lanes are seeded with identity so inv3x3_planar3's
+    ok flag (and its lax.cond fallback gate) ignore them: at mu=0 the
+    undamped GN solve must be reported ok (vok True), and the pivoted-det
+    fallback must not be triggered by padding at small mu (regression:
+    all-zero padded blocks made vok always-False on the dense3 path and
+    tripped the fallback once mu^3 < 1e-16)."""
+    from psba_tpu.core.schur import damp_v_planar, inv3x3_planar3
+    from psba_tpu.ops.linearize_dense import linearize_dense_pallas
+    from psba_tpu.solvers.types import ProblemArrays
+
+    p = prob_synth.with_blk()
+    f32 = jnp.float32
+    pa = ProblemArrays.from_problem(p, dtype=f32, schur="dense")
+    _, _, _, Vp, _, Pp = linearize_dense_pallas(
+        pa.K, pa.q0, jnp.asarray(p.cams, f32), jnp.asarray(p.pts, f32),
+        pa.obs_du, pa.obs_dv, pa.valid_d
+    )
+    assert Pp > p.n_pts  # fixture must actually exercise padding
+    pad = np.asarray(Vp[:, :, p.n_pts:])
+    np.testing.assert_array_equal(
+        pad, np.broadcast_to(np.eye(3, dtype=np.float32)[:, :, None],
+                             pad.shape)
+    )
+    # undamped: ok despite padding
+    _, ok0 = inv3x3_planar3(Vp)
+    assert bool(ok0)
+    # small damping: ok, and padded dets sit at (1+mu)^3 far from the
+    # 1e-16 fallback gate
+    _, ok_mu = inv3x3_planar3(damp_v_planar(Vp, jnp.float32(1e-7)))
+    assert bool(ok_mu)
+
+
 def test_solver_pallas_dense3_sharded(prob_synth):
     """Dense-grid planar path under shard_map (4 virtual devices)."""
     from psba_tpu.parallel.shard import solve_sharded
