@@ -73,6 +73,33 @@ def _pivoted_det3(V):
     return sign * a00 * t11 * c22
 
 
+def _block_scale(a, b, c, d, e, f):
+    """Per-block power-of-two scale of a symmetric 3x3 and its reciprocal.
+
+    Factoring this out of the inverse makes the determinant arithmetic
+    scale-invariant: badly scaled real BAL cameras (Dubrovnik-88 carries
+    fu up to 1.85e6) push diag(V) to ~1e12 and the LM seed
+    mu = tau*max(diag U) to ~2.8e20, at which point an unscaled det ~ mu^3
+    overflows f32 to inf/nan and the solve loop can never succeed.
+
+    The scale is rounded to a power of two so the division is EXACT: every
+    scaled intermediate equals its unscaled counterpart times 2^-ke, exact
+    zeros (rank-deficient blocks) stay exactly zero, pivot comparisons are
+    unchanged, and the final inverse is bit-identical to the unscaled
+    computation whenever that computation does not overflow. Returns
+    (inv_m, inv_m3) with inv_m = 2^-e ~ 1/max|entry| and inv_m3 = inv_m^3
+    (the fallback-threshold adjustment; may over/underflow at extreme
+    scales, which only shifts the *fallback* decision, never ok)."""
+    m = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(a), jnp.abs(b)), jnp.abs(c)),
+        jnp.maximum(jnp.maximum(jnp.abs(d), jnp.abs(e)), jnp.abs(f)),
+    )
+    m_safe = jnp.where(m > 0.0, m, 1.0)
+    e2 = jnp.floor(jnp.log2(m_safe))
+    inv_m = jnp.exp2(-e2)
+    return inv_m, inv_m * inv_m * inv_m
+
+
 def inv3x3(V):
     """Batched closed-form symmetric 3x3 inverse via cofactors.
 
@@ -82,7 +109,12 @@ def inv3x3(V):
     Gaussian determinant (the reference's fallback, compute_Vinv.cl:28-76),
     which survives the catastrophic cancellation that kills the closed
     form near (but not at) singularity. Computes the full inverse (the
-    reference stores only the lower triangle).
+    reference stores only the lower triangle). The block is normalized by
+    its max |entry| first (see _block_scale): inv(V) = inv(V/m)/m, with
+    the fallback threshold applied to the *scaled* determinant — a
+    scale-invariant form of the reference's absolute 1e-16 (an intentional
+    numerical improvement: the absolute test is meaningless at BAL scales
+    where det spans ~1e36).
 
     Returns (Vinv, ok): ok is False when any block is singular even after
     the pivoted fallback (zero / non-finite determinant) — callers treat it
@@ -90,14 +122,25 @@ def inv3x3(V):
     lets the garbage flow, levmar.cpp:127)."""
     a, b, c = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
     d, e, f = V[..., 1, 1], V[..., 1, 2], V[..., 2, 2]
+    inv_m, inv_m3 = _block_scale(a, b, c, d, e, f)
+    a, b, c = a * inv_m, b * inv_m, c * inv_m
+    d, e, f = d * inv_m, e * inv_m, f * inv_m
     co00 = d * f - e * e
     co01 = c * e - b * f
     co02 = b * e - c * d
     det = a * co00 + b * co01 + c * co02
-    need_fallback = jnp.abs(det) < 1e-16
-    det_piv = _pivoted_det3(V)
+    # |det_unscaled| < 1e-16 expressed on the scaled det (exact when
+    # inv_m3 is representable; saturates to never/always at the extremes)
+    need_fallback = jnp.abs(det) < 1e-16 * inv_m3
+    det_piv = _pivoted_det3(V * inv_m[..., None, None])
     det_use = jnp.where(need_fallback, det_piv, det)
-    blk_ok = (det_use != 0.0) & jnp.isfinite(det_use)
+    # singularity test on the scaled (O(1)-entry) determinant: anything
+    # within a few ulps of zero has no significant digits in its inverse.
+    # An exact ==0 test is flaky — XLA's FMA contraction turns exact
+    # cancellation into ~eps-level noise depending on fusion decisions.
+    blk_ok = jnp.isfinite(det_use) & (
+        jnp.abs(det_use) > 8.0 * jnp.finfo(det_use.dtype).eps
+    )
     ok = jnp.all(blk_ok)
     inv_det = jnp.where(blk_ok, 1.0 / jnp.where(blk_ok, det_use, 1.0), 0.0)
     co11 = a * f - c * c
@@ -106,27 +149,39 @@ def inv3x3(V):
     row0 = jnp.stack([co00, co01, co02], axis=-1)
     row1 = jnp.stack([co01, co11, co12], axis=-1)
     row2 = jnp.stack([co02, co12, co22], axis=-1)
-    Vinv = jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+    Vinv = jnp.stack([row0, row1, row2], axis=-2) * (
+        inv_det * inv_m
+    )[..., None, None]
     return Vinv, ok
 
 
 def inv3x3_planar(V):
     """inv3x3 in the planar [3, 3, P] layout (P in the TPU lane
-    dimension). Identical cofactor + pivoted-fallback math; the only
-    difference is the output stacking: leading (i, j) axes keep every
-    elementwise op a full-lane [P] vector, where [P, 3, 3]'s size-3 minor
-    dims waste 125/128 lanes per op (measured 40x off roofline on the
-    downstream consumers — see schur_S_dense)."""
+    dimension). Identical cofactor + pivoted-fallback math (including the
+    scale-invariant block normalization); the only difference is the
+    output stacking: leading (i, j) axes keep every elementwise op a
+    full-lane [P] vector, where [P, 3, 3]'s size-3 minor dims waste
+    125/128 lanes per op (measured 40x off roofline on the downstream
+    consumers — see schur_S_dense)."""
     a, b, c = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
     d, e, f = V[..., 1, 1], V[..., 1, 2], V[..., 2, 2]
+    inv_m, inv_m3 = _block_scale(a, b, c, d, e, f)
+    a, b, c = a * inv_m, b * inv_m, c * inv_m
+    d, e, f = d * inv_m, e * inv_m, f * inv_m
     co00 = d * f - e * e
     co01 = c * e - b * f
     co02 = b * e - c * d
     det = a * co00 + b * co01 + c * co02
-    need_fallback = jnp.abs(det) < 1e-16
-    det_piv = _pivoted_det3(V)
+    need_fallback = jnp.abs(det) < 1e-16 * inv_m3
+    det_piv = _pivoted_det3(V * inv_m[..., None, None])
     det_use = jnp.where(need_fallback, det_piv, det)
-    blk_ok = (det_use != 0.0) & jnp.isfinite(det_use)
+    # singularity test on the scaled (O(1)-entry) determinant: anything
+    # within a few ulps of zero has no significant digits in its inverse.
+    # An exact ==0 test is flaky — XLA's FMA contraction turns exact
+    # cancellation into ~eps-level noise depending on fusion decisions.
+    blk_ok = jnp.isfinite(det_use) & (
+        jnp.abs(det_use) > 8.0 * jnp.finfo(det_use.dtype).eps
+    )
     ok = jnp.all(blk_ok)
     inv_det = jnp.where(blk_ok, 1.0 / jnp.where(blk_ok, det_use, 1.0), 0.0)
     co11 = a * f - c * c
@@ -136,7 +191,7 @@ def inv3x3_planar(V):
         jnp.stack([co00, co01, co02], axis=0),
         jnp.stack([co01, co11, co12], axis=0),
         jnp.stack([co02, co12, co22], axis=0),
-    ], axis=0) * inv_det[None, None]
+    ], axis=0) * (inv_det * inv_m)[None, None]
     return Vp, ok
 
 
@@ -193,18 +248,27 @@ def inv3x3_planar3(Vp):
     Returns (Vinv [3, 3, P], ok)."""
     a, b, c = Vp[0, 0], Vp[0, 1], Vp[0, 2]
     d, e, f = Vp[1, 1], Vp[1, 2], Vp[2, 2]
+    inv_m, inv_m3 = _block_scale(a, b, c, d, e, f)
+    a, b, c = a * inv_m, b * inv_m, c * inv_m
+    d, e, f = d * inv_m, e * inv_m, f * inv_m
     co00 = d * f - e * e
     co01 = c * e - b * f
     co02 = b * e - c * d
     det = a * co00 + b * co01 + c * co02
-    need_fallback = jnp.abs(det) < 1e-16
+    need_fallback = jnp.abs(det) < 1e-16 * inv_m3
     det_piv = jax.lax.cond(
         jnp.any(need_fallback),
         lambda: _pivoted_det3_rows(((a, b, c), (b, d, e), (c, e, f))),
         lambda: det,
     )
     det_use = jnp.where(need_fallback, det_piv, det)
-    blk_ok = (det_use != 0.0) & jnp.isfinite(det_use)
+    # singularity test on the scaled (O(1)-entry) determinant: anything
+    # within a few ulps of zero has no significant digits in its inverse.
+    # An exact ==0 test is flaky — XLA's FMA contraction turns exact
+    # cancellation into ~eps-level noise depending on fusion decisions.
+    blk_ok = jnp.isfinite(det_use) & (
+        jnp.abs(det_use) > 8.0 * jnp.finfo(det_use.dtype).eps
+    )
     ok = jnp.all(blk_ok)
     inv_det = jnp.where(blk_ok, 1.0 / jnp.where(blk_ok, det_use, 1.0), 0.0)
     co11 = a * f - c * c
@@ -214,7 +278,7 @@ def inv3x3_planar3(Vp):
         jnp.stack([co00, co01, co02], axis=0),
         jnp.stack([co01, co11, co12], axis=0),
         jnp.stack([co02, co12, co22], axis=0),
-    ], axis=0) * inv_det[None, None]
+    ], axis=0) * (inv_det * inv_m)[None, None]
     return Vinv, ok
 
 

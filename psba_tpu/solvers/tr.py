@@ -252,11 +252,20 @@ def tr_run(
             ZW = stack_blocks(W, pa.blk_idx)
             g_pp = planar_gb(g_p)
 
-        # Cauchy step P_U = -(g^T g / g^T B g) g (trust_region.cpp:125-130)
-        Jg = jmultiply(A, B, g_c, g_p, pa.cam_idx, pa.pt_idx)
-        gtBg = 2.0 * ctx.psum(jnp.sum(Jg * Jg))
-        gtg = _dot(g_c, g_p, g_c, g_p)
-        scal = -(gtg / gtBg)
+        # Cauchy step P_U = -(g^T g / g^T B g) g (trust_region.cpp:125-130),
+        # computed on g normalized by its max |entry|: on badly scaled BAL
+        # cameras (Dubrovnik-88: fu up to 1.85e6) g reaches ~1e17 and both
+        # g^T g and ||Jg||^2 overflow f32; the gm^2 factors cancel in the
+        # ratio, so this is algebraically the reference formula
+        gm = ctx.pmax(jnp.maximum(
+            jnp.max(jnp.abs(g_c)), jnp.max(jnp.abs(g_p))
+        ))
+        gm = jnp.where(gm > 0.0, gm, 1.0)
+        gh_c, gh_p = g_c / gm, g_p / gm
+        Jg = jmultiply(A, B, gh_c, gh_p, pa.cam_idx, pa.pt_idx)
+        gtBg_n = 2.0 * ctx.psum(jnp.sum(Jg * Jg))     # = g^T B g / gm^2
+        gtg_n = _dot(gh_c, gh_p, gh_c, gh_p)          # = g^T g / gm^2
+        scal = -(gtg_n / gtBg_n)
         pu_c, pu_p = scal * g_c, scal * g_p
 
         # --- Gauss–Newton step with lambda escalation (compute_PB loop)
