@@ -17,8 +17,8 @@ import numpy as np
 
 from psba_tpu import constants as CC
 from psba_tpu.problem import BAProblem
-from psba_tpu.solvers.lm import lm_fresh_aux, lm_run
-from psba_tpu.solvers.tr import tr_fresh_aux, tr_run
+from psba_tpu.solvers.lm import lm_fresh_aux, lm_run, lm_run_jit
+from psba_tpu.solvers.tr import tr_fresh_aux, tr_run, tr_run_jit
 from psba_tpu.solvers.types import OptState, ProblemArrays, SolverConfig
 
 
@@ -121,8 +121,10 @@ def solve(
             if meta.get("polish_target") is not None:
                 polish_target = int(meta["polish_target"])
 
-    lm = jax.jit(lm_run, static_argnames=("cfg",))
-    tr = jax.jit(tr_run, static_argnames=("cfg",))
+    # module-level jitted runners: repeated solve() calls (same shapes +
+    # cfg) reuse the traced/compiled executables instead of re-jitting a
+    # fresh wrapper per call — a warm solve pays zero compile time
+    lm, tr = lm_run_jit, tr_run_jit
 
     state = OptState.init(pa, cams, pts, clamp=cfg.clamp_quat)
     if resume_itno:
