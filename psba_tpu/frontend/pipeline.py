@@ -17,19 +17,43 @@ from psba_tpu.io.synthetic import _mat_to_quat
 from psba_tpu.problem import BAProblem
 
 
-def two_view_problem(img1, img2, K, n_features: int = 256) -> BAProblem:
+def _estimate_E(x1n, x2n, valid, ransac_iters, fu, seed=0):
+    """Essential-matrix estimation switch: fixed-iteration RANSAC over the
+    8-point solver when ransac_iters > 0 (robust to mismatches that
+    survive the ratio/mutual tests), plain weighted LS otherwise. The
+    Sampson threshold is 2 px expressed in normalized coordinates.
+    Returns (E, consensus_valid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from psba_tpu.frontend.twoview import essential_8pt, essential_ransac
+
+    if not ransac_iters:
+        return essential_8pt(x1n, x2n, valid), valid
+    E, inl = essential_ransac(
+        x1n, x2n, valid, jax.random.PRNGKey(seed), iters=int(ransac_iters),
+        thresh=2.0 / fu,
+    )
+    # degenerate consensus (e.g. far fewer than 8 inliers) falls back to
+    # the full match set so downstream stages still see correspondences
+    return E, jnp.where(jnp.sum(inl) >= 8, inl, valid)
+
+
+def two_view_problem(img1, img2, K, n_features: int = 256,
+                     ransac_iters: int = 64) -> BAProblem:
     """Detect/match/estimate/triangulate an image pair into a BAProblem.
 
     K: [fu, u0, v0, ar, s] shared intrinsics. Camera 1 is gauge-fixed at
     identity; camera 2 takes the essential-matrix pose (unit-norm
-    translation — BA refines up to the usual gauge freedom)."""
+    translation — BA refines up to the usual gauge freedom).
+    `ransac_iters` > 0 runs fixed-iteration RANSAC around the 8-point
+    solve (essential_ransac); 0 = plain weighted least squares."""
     import jax.numpy as jnp
 
     from psba_tpu.frontend.features import detect_and_describe
     from psba_tpu.frontend.matching import match_descriptors
     from psba_tpu.frontend.twoview import (
         decompose_essential,
-        essential_8pt,
         triangulate,
     )
 
@@ -46,7 +70,7 @@ def two_view_problem(img1, img2, K, n_features: int = 256) -> BAProblem:
         return jnp.stack([x, y], axis=1)
 
     x1n, x2n = norm(m1), norm(m2)
-    E = essential_8pt(x1n, x2n, valid)
+    E, valid = _estimate_E(x1n, x2n, valid, ransac_iters, fu)
     R, t = decompose_essential(E, x1n, x2n, valid)
     X = triangulate(R, t, x1n, x2n)
     z1 = X[:, 2]
@@ -79,7 +103,8 @@ def two_view_problem(img1, img2, K, n_features: int = 256) -> BAProblem:
 
 def sequence_problem(images, K, n_features: int = 256,
                      min_track_len: int = 2,
-                     max_reproj_px: float = 4.0) -> BAProblem:
+                     max_reproj_px: float = 4.0,
+                     ransac_iters: int = 64) -> BAProblem:
     """Chain an image sequence (>= 3 views) into a multi-view BAProblem.
 
     The pose-graph stage the north star requires on top of the two-view
@@ -103,7 +128,6 @@ def sequence_problem(images, K, n_features: int = 256,
     from psba_tpu.frontend.matching import match_descriptors
     from psba_tpu.frontend.twoview import (
         decompose_essential,
-        essential_8pt,
         triangulate,
     )
 
@@ -129,7 +153,7 @@ def sequence_problem(images, K, n_features: int = 256,
         idx2, valid = match_descriptors(d1, d2, s1, s2)
         x1n = xyn[i]
         x2n = xyn[i + 1][idx2]
-        E = essential_8pt(x1n, x2n, valid)
+        E, valid = _estimate_E(x1n, x2n, valid, ransac_iters, fu, seed=i)
         R, t = decompose_essential(E, x1n, x2n, valid)
         X = triangulate(R, t, x1n, x2n)         # cam-i frame, unit ||t||
         z1 = np.asarray(X[:, 2])
