@@ -54,7 +54,7 @@ def _enable_compile_cache():
         pass  # older jax without these knobs
 
 
-def bench_dataset(name, dtype, iters=10):
+def bench_dataset(name, dtype, iters=10, damping="additive"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -70,12 +70,18 @@ def bench_dataset(name, dtype, iters=10):
     row = {
         "dataset": name, "cams": prob.n_cams, "pts": prob.n_pts,
         "obs": prob.n_obs, "complete": datasets.REGISTRY[name].complete,
+        "damping": damping,
+    }
+    cfg_kw = {} if damping == "additive" else {
+        "damping": damping, "lm_switch_count": 10_000,
     }
 
     # convergence (hybrid, dtype-adapted stops); second call reuses the
     # module-level jitted runners -> compile-excluded wall-clock
-    res = solve(prob, dtype=dtype)
-    res_warm = solve(prob, dtype=dtype)
+    res = solve(prob, SolverConfig.for_dtype(dtype, **cfg_kw), dtype=dtype)
+    res_warm = solve(
+        prob, SolverConfig.for_dtype(dtype, **cfg_kw), dtype=dtype
+    )
     row.update(
         initial_error=res.initial_error, final_error=res.final_error,
         rms_px=float(np.sqrt(res.final_l2 / prob.n_obs)),
@@ -97,7 +103,8 @@ def bench_dataset(name, dtype, iters=10):
     # per-dispatch tunnel latency
     n1 = 2
     cfg = SolverConfig.for_dtype(
-        dtype, max_iters=N2_MAX, stop_thresh=1e-30, lm_switch_count=10_000
+        dtype, max_iters=N2_MAX, stop_thresh=1e-30, lm_switch_count=10_000,
+        damping=damping,
     )
     pa = ProblemArrays.from_problem(prob, dtype=dtype)
     cams = jnp.asarray(prob.cams, dtype)
@@ -176,14 +183,29 @@ def main(argv=None):
         try:
             rows.append(bench_dataset(name.strip(), dtype))
             print(json.dumps(rows[-1]), flush=True)
-        except Exception as e:  # keep going; report the failure with trace
-            rows.append({
-                "dataset": name, "error": repr(e),
-                "traceback": traceback.format_exc(),
-            })
-            print(json.dumps({k: rows[-1][k] for k in ("dataset", "error")}),
-                  flush=True)
-            print(rows[-1]["traceback"], file=sys.stderr, flush=True)
+        except Exception as e:
+            # reference-parity additive damping cannot survive real BAL
+            # camera scaling in f32 (diag ratios ~1e20); retry with the
+            # scale-invariant Marquardt damping and record which config
+            # produced the row
+            print(f"    additive failed ({e!r:.120}); retrying marquardt",
+                  file=sys.stderr, flush=True)
+            try:
+                rows.append(
+                    bench_dataset(name.strip(), dtype, damping="marquardt")
+                )
+                rows[-1]["additive_error"] = repr(e)
+                print(json.dumps(rows[-1]), flush=True)
+            except Exception as e2:  # keep going; report with trace
+                rows.append({
+                    "dataset": name, "error": repr(e2),
+                    "additive_error": repr(e),
+                    "traceback": traceback.format_exc(),
+                })
+                print(json.dumps(
+                    {k: rows[-1][k] for k in ("dataset", "error")}
+                ), flush=True)
+                print(rows[-1]["traceback"], file=sys.stderr, flush=True)
 
     if args.out:
         with open(args.out, "w") as f:

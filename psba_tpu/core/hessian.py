@@ -85,3 +85,22 @@ def max_diag(U, V):
     du = jnp.diagonal(U, axis1=-2, axis2=-1)
     dv = jnp.diagonal(V, axis1=-2, axis2=-1)
     return jnp.maximum(jnp.max(du), jnp.max(dv))
+
+
+def damp_uv_marquardt(U, V, mu):
+    """Multiplicative (Marquardt/Jacobi) damping: each diagonal entry
+    becomes d*(1+mu), with zero diagonals (parameters without
+    observations) falling back to additive mu so they stay regularized.
+    Scale-invariant counterpart of damp_uv for problems whose Hessian
+    diagonal spans many orders of magnitude (SolverConfig.damping);
+    no reference counterpart."""
+    eye6 = jnp.eye(U.shape[-1], dtype=U.dtype)
+    eye3 = jnp.eye(V.shape[-1], dtype=V.dtype)
+    du = jnp.diagonal(U, axis1=-2, axis2=-1)
+    dv = jnp.diagonal(V, axis1=-2, axis2=-1)
+    du = jnp.where(du > 0.0, du, 1.0)
+    dv = jnp.where(dv > 0.0, dv, 1.0)
+    return (
+        U + (mu * du)[..., None] * eye6,
+        V + (mu * dv)[..., None] * eye3,
+    )

@@ -289,6 +289,21 @@ def damp_v_planar(Vp, mu):
     return Vp + mu * eye
 
 
+def damp_v_planar_marquardt(Vp, mu):
+    """Multiplicative (Marquardt) damping on planar V blocks: diagonal
+    entries become d*(1+mu); zero diagonals fall back to additive mu
+    (see core.hessian.damp_uv_marquardt)."""
+    eye = jnp.eye(3, dtype=Vp.dtype)[:, :, None]
+    d = jnp.where(Vp > 0.0, Vp, 1.0)  # only diag lanes are consumed
+    return Vp + mu * (d * eye)
+
+
+def diag_v_planar(Vp, n_pts):
+    """Diagonal of planar V blocks as [P, 3] (for the Marquardt gain-ratio
+    denominator dp^T (mu D dp + g))."""
+    return jnp.stack([Vp[0, 0], Vp[1, 1], Vp[2, 2]], axis=1)[:n_pts]
+
+
 def max_diag_planar(U, Vp, n_pts):
     """max over U and planar-V diagonals (levmar.cpp:113-115); padded
     planar columns (>= n_pts) are excluded."""

@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from psba_tpu import constants as CC
-from psba_tpu.core.hessian import assemble_blocks, damp_uv, max_diag
+from psba_tpu.core.hessian import (
+    assemble_blocks,
+    damp_uv,
+    damp_uv_marquardt,
+    max_diag,
+)
 from psba_tpu.core.jacobian import jacobians
 from psba_tpu.core.linalg import spd_solve
 from psba_tpu.core.residual import error_l2, error_l2_diff, residuals
@@ -39,6 +44,8 @@ from psba_tpu.core.schur import (
     back_substitute_dense,
     back_substitute_dense3,
     damp_v_planar,
+    damp_v_planar_marquardt,
+    diag_v_planar,
     inv3x3,
     inv3x3_planar,
     inv3x3_planar3,
@@ -161,6 +168,7 @@ def lm_run(
     # kernel (ops.linearize_dense_pallas) — no stack_blocks gather, no
     # [P, 3, 3] relayouts anywhere in the damping-retry loop
     dense3 = dense and pallas and pa.obs_du is not None
+    marq = cfg.damping == "marquardt"
     s_backend = "pallas" if cfg.backend == "pallas" else "xla"
     # collective for the O(C^2) S assembly (cfg.s_reduce)
     s_psum = ctx.psum_rs if cfg.s_reduce == "scatter" else ctx.psum
@@ -204,28 +212,51 @@ def lm_run(
             # pure dense matmuls against the planar ZW [6C, 3P]
             ZW = stack_blocks(W, pa.blk_idx)
             gbp = planar_gb(gb)
-        # first-iteration damping seed (levmar.cpp:113-120)
-        md = (
-            max_diag_planar(U, Vp, P_loc) if dense3 else max_diag(U, V)
-        )
-        mu = jnp.where(s.first, cfg.tau * ctx.pmax(md), s.mu)
+        # first-iteration damping seed: additive = tau * max(diag)
+        # (levmar.cpp:113-120); marquardt = plain tau (dimensionless —
+        # the diag factors live in the damping itself)
+        if marq:
+            mu0 = jnp.asarray(cfg.tau, dtype)
+        else:
+            md = (
+                max_diag_planar(U, Vp, P_loc) if dense3 else max_diag(U, V)
+            )
+            mu0 = cfg.tau * ctx.pmax(md)
+        mu = jnp.where(s.first, mu0, s.mu)
         nu = jnp.where(s.first, 2.0, s.nu)
         p_l2 = jnp.where(s.first, 1e3, s.p_l2)
 
+        # Marquardt gain-ratio denominator needs the undamped diagonals
+        if marq:
+            dU = jnp.diagonal(U, axis1=-2, axis2=-1)          # [C, 6]
+            dV = (
+                diag_v_planar(Vp, P_loc) if dense3
+                else jnp.diagonal(V, axis1=-2, axis2=-1)      # [P, 3]
+            )
+
         def inner_body(t: _Inner):
             if dense3:
-                U_d = U + t.mu * jnp.eye(6, dtype=dtype)
-                Vp_d = damp_v_planar(Vp, t.mu)
+                if marq:
+                    dUe = jnp.where(dU > 0.0, dU, 1.0)
+                    U_d = U + (t.mu * dUe)[..., None] * jnp.eye(
+                        6, dtype=dtype
+                    )
+                    Vp_d = damp_v_planar_marquardt(Vp, t.mu)
+                else:
+                    U_d = U + t.mu * jnp.eye(6, dtype=dtype)
+                    Vp_d = damp_v_planar(Vp, t.mu)
                 Vinv3, vok = inv3x3_planar3(Vp_d)
                 S, ZY3 = schur_S_dense3(U_d, ZW3, Vinv3, psum=s_psum)
                 ea = reduced_rhs_dense3(ga, gbp3, ZY3, psum=ctx.psum)
             elif dense:
-                U_d, V_d = damp_uv(U, V, t.mu)
+                _damp = damp_uv_marquardt if marq else damp_uv
+                U_d, V_d = _damp(U, V, t.mu)
                 Vpl, vok = inv3x3_planar(V_d)
                 S, ZY = schur_S_dense(U_d, ZW, Vpl, psum=s_psum)
                 ea = reduced_rhs_dense(ga, gbp, ZY, psum=ctx.psum)
             else:
-                U_d, V_d = damp_uv(U, V, t.mu)
+                _damp = damp_uv_marquardt if marq else damp_uv
+                U_d, V_d = _damp(U, V, t.mu)
                 Vinv, vok = inv3x3(V_d)
                 Y = y_blocks(W, Vinv, pa.pt_idx)
                 S = schur_S(
@@ -272,9 +303,18 @@ def lm_run(
                     pa.pt_idx, clamp=cfg.clamp_quat,
                 )
                 new_l2 = ctx.psum(error_l2(new_ex, valid=pa.valid))
-            denom = jnp.sum(dpa * (t.mu * dpa + ga)) + ctx.psum(
-                jnp.sum(dpb * (t.mu * dpb + gb))
-            )
+            # gain-ratio denominator dp^T (mu D dp + g) (levmar.cpp:271-280
+            # with D = I; D = diag(H) under Marquardt damping)
+            if marq:
+                Dc = jnp.where(dU > 0.0, dU, 1.0)
+                Dp = jnp.where(dV > 0.0, dV, 1.0)
+                denom = jnp.sum(dpa * (t.mu * Dc * dpa + ga)) + ctx.psum(
+                    jnp.sum(dpb * (t.mu * Dp * dpb + gb))
+                )
+            else:
+                denom = jnp.sum(dpa * (t.mu * dpa + ga)) + ctx.psum(
+                    jnp.sum(dpb * (t.mu * dpb + gb))
+                )
             # gain-ratio numerator in factored form (error_l2_diff): exact
             # in infinite precision, conditioned for f32 near convergence
             gain = ctx.psum(error_l2_diff(t.ex, new_ex, valid=pa.valid))

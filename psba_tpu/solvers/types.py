@@ -36,6 +36,16 @@ class SolverConfig(NamedTuple):
     # (device-side ring of the reference's progress lines: itno/err/rho/mu
     # for LM (levmar.cpp:197), itno/err/delta/rho/|p|/lambda for TR
     # (trust_region.cpp:250)); returned via OptState.history
+    damping: str = "additive"              # "additive" | "marquardt": LM
+    # damping model. "additive" is the reference's mu*I (update_UV.cl,
+    # levmar.cpp:126) seeded at tau*max(diag) (levmar.cpp:113-120).
+    # "marquardt" damps each diagonal multiplicatively (mu*diag(H), seeded
+    # at plain tau) — scale-invariant, the standard choice for problems
+    # whose Hessian diagonal spans many orders of magnitude (real BAL
+    # cameras reach diag ratios ~1e20, where additive damping in f32
+    # either overflows or underflows the gain). No reference counterpart
+    # (framework extension); TR always damps additively as the reference
+    # does.
 
     @classmethod
     def for_dtype(cls, dtype, **overrides) -> "SolverConfig":

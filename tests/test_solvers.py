@@ -116,3 +116,25 @@ def test_tr_recovers_from_singular_v(prob_synth):
     assert np.isfinite(res.final_l2)
     assert np.all(np.isfinite(res.cams)) and np.all(np.isfinite(res.pts))
     assert res.final_l2 < res.initial_l2
+
+
+def test_marquardt_damping_converges(prob7):
+    """SolverConfig(damping="marquardt") (scale-invariant multiplicative
+    damping, a framework extension over the reference's additive mu*I)
+    must reach the same optimum as the additive default."""
+    import jax.numpy as jnp
+
+    from psba_tpu.solvers.hybrid import solve
+    from psba_tpu.solvers.types import SolverConfig
+
+    ref = solve(prob7)
+    r = solve(prob7, SolverConfig(damping="marquardt",
+                                  lm_switch_count=10_000))
+    np.testing.assert_allclose(r.final_error, ref.final_error, rtol=1e-8)
+    r32 = solve(
+        prob7,
+        SolverConfig.for_dtype(jnp.float32, damping="marquardt",
+                               lm_switch_count=10_000),
+        dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(r32.final_error, ref.final_error, rtol=1e-3)
