@@ -92,6 +92,10 @@ def main(argv=None):
     ap.add_argument("--out", default=os.path.join(HERE, "SCALING.json"))
     args = ap.parse_args(argv)
 
+    from benchmarks.run_all import _enable_compile_cache
+
+    _enable_compile_cache()
+
     out = {"version": 2, "doc": __doc__.split("\n")[0]}
 
     # 1. real-TPU sharded run

@@ -64,6 +64,10 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
+    from benchmarks.run_all import _enable_compile_cache
+
+    _enable_compile_cache()
+
     import jax.numpy as jnp
 
     from psba_tpu import datasets

@@ -46,6 +46,11 @@ def build_parser():
                         "the main run (mixed-precision strategy)")
     p.add_argument("--clamp-quat", action="store_true",
                    help="guard sqrt(1-||v||^2) against NaN")
+    p.add_argument("--damping", choices=["additive", "marquardt"],
+                   default="additive",
+                   help="LM damping model: additive mu*I (reference "
+                        "semantics) or scale-invariant multiplicative "
+                        "mu*diag(H) for mixed-scale BAL cameras")
     p.add_argument("--mesh", type=int, default=1,
                    help="shard over N devices (observation axis)")
     p.add_argument("--out-cams", help="write optimized cameras (varK format)")
@@ -99,7 +104,11 @@ def main(argv=None):
         tau=args.tau,
         max_iters=args.max_iters,
         clamp_quat=args.clamp_quat,
-        lm_switch_count=(1000 if args.solver == "lm" else 5),
+        lm_switch_count=(
+            1000 if args.solver == "lm" or args.damping == "marquardt"
+            else 5
+        ),
+        damping=args.damping,
         record_history=args.verbose,
     )
     dtype = jnp.float32 if args.f32 else None
