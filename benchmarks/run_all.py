@@ -112,17 +112,21 @@ def bench_dataset(name, dtype, iters=10, damping="additive"):
     state0 = OptState.init(pa, cams, pts)
     run = jax.jit(lm_run, static_argnames=("cfg",))
 
+    class _Horizon(Exception):
+        """Fixed-work run ended before the cap: with stop tests disabled,
+        a run driven past its dtype's convergence floor rejects every
+        step and escalates mu to overflow (flag ERR). The iterations
+        before the floor are still perfectly timeable."""
+
+        def __init__(self, itno):
+            self.itno = itno
+
     def timed(cap):
         out = run(pa, state0, cfg, iter_cap=jnp.int32(cap))
         out.ex_l2.block_until_ready()
-        itno, flag = int(out.itno), int(out.flag)
+        itno = int(out.itno)
         if itno != cap:
-            raise RuntimeError(
-                f"{name}: fixed-work run stopped at itno={itno} < "
-                f"cap={cap} with flag={flag} "
-                f"(ex_l2={float(out.ex_l2):.6e}) — cannot time a full "
-                "iteration window"
-            )
+            raise _Horizon(itno)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -133,8 +137,26 @@ def bench_dataset(name, dtype, iters=10, damping="additive"):
 
     t1, jitter1 = timed(n1)
     n2 = iters
+    horizon = None
     while True:
-        t2, jitter2 = timed(n2)
+        try:
+            t2, jitter2 = timed(n2)
+        except _Horizon as h:
+            if h.itno <= n1 + 2:
+                row["lm_iter_ms"] = None
+                row["timing_note"] = (
+                    f"{dtype.__name__} convergence horizon at iteration "
+                    f"{h.itno} leaves no marginal window above N1={n1}"
+                )
+                break
+            horizon = h.itno - 1
+            n2 = horizon
+            row["timing_note"] = (
+                f"N2 capped at {n2}: beyond it the stop-disabled run "
+                f"passes the {dtype.__name__} precision floor and mu "
+                "escalates to overflow"
+            )
+            continue
         window = t2 - t1
         floor = NOISE_MULT * max(jitter1, jitter2, 1e-4)
         if window >= floor:
@@ -146,7 +168,7 @@ def bench_dataset(name, dtype, iters=10, damping="additive"):
                 prob.n_cams, prob.n_pts, prob.n_obs, ms
             )
             break
-        if n2 >= N2_MAX:
+        if n2 >= N2_MAX or (horizon is not None and n2 >= horizon):
             row["lm_iter_ms"] = None
             row["timing_note"] = (
                 f"marginal window {window*1e3:.2f} ms at N2={n2} is below "
@@ -156,15 +178,20 @@ def bench_dataset(name, dtype, iters=10, damping="additive"):
             )
             break
         n2 = min(n2 * 4, N2_MAX)
+        if horizon is not None:
+            n2 = min(n2, horizon)
     return row
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--f64", action="store_true")
+    # BAL-scale sets first: under a loaded remote-compile service the run
+    # can take hours, and the incremental writes below mean the rows that
+    # matter most land earliest
     ap.add_argument("--sets", default=(
-        "7camsvarK,9camsvarK,54camsvarKD,trafalgar21,ladybug138,"
-        "venice52,rome93,dubrovnik88"
+        "trafalgar21,dubrovnik88,ladybug138,venice52,rome93,"
+        "54camsvarKD,9camsvarK,7camsvarK"
     ))
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
@@ -178,6 +205,17 @@ def main(argv=None):
     dtype = jnp.float64 if args.f64 else jnp.float32
 
     rows = []
+
+    def _flush():
+        # incremental: every completed row is durable even if a later
+        # dataset's compile outlives the run's budget
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(
+                    {"dtype": str(dtype.__name__), "rows": rows}, f,
+                    indent=1,
+                )
+
     for name in args.sets.split(","):
         print(f"--- {name}", file=sys.stderr, flush=True)
         try:
@@ -206,11 +244,7 @@ def main(argv=None):
                     {k: rows[-1][k] for k in ("dataset", "error")}
                 ), flush=True)
                 print(rows[-1]["traceback"], file=sys.stderr, flush=True)
-
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump({"dtype": str(dtype.__name__), "rows": rows}, f,
-                      indent=1)
+        _flush()
     hdr = (f"{'dataset':<14s}{'C':>5s}{'P':>8s}{'O':>9s}"
            f"{'final_rms_px':>14s}{'it':>4s}{'ms/LM-iter':>12s}"
            f"{'obs/s':>12s}{'sol%':>6s}")

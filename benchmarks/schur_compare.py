@@ -37,18 +37,23 @@ def measure(prob, dtype, schur, backend):
     pts = jnp.asarray(prob.pts, dtype)
     state0 = OptState.init(pa, cams, pts)
     run = jax.jit(lm_run, static_argnames=("cfg",))
+    # one compiled executable serves both run lengths (dynamic iter_cap);
+    # remote compiles through the tunnel can cost minutes apiece
+    cfg = SolverConfig.for_dtype(
+        dtype, max_iters=N2, stop_thresh=1e-30, lm_switch_count=10_000,
+        backend=backend,
+    )
 
     def timed(n):
-        cfg = SolverConfig.for_dtype(
-            dtype, max_iters=n, stop_thresh=1e-30, lm_switch_count=10_000,
-            backend=backend,
-        )
-        out = run(pa, state0, cfg)
-        assert int(out.itno) == n, f"early exit at {int(out.itno)}"
+        out = run(pa, state0, cfg, iter_cap=jnp.int32(n))
+        if int(out.itno) != n:
+            raise RuntimeError(
+                f"early exit at {int(out.itno)} flag={int(out.flag)}"
+            )
         ts = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            out = run(pa, state0, cfg)
+            out = run(pa, state0, cfg, iter_cap=jnp.int32(n))
             out.ex_l2.block_until_ready()
             ts.append(time.perf_counter() - t0)
         return min(ts), float(out.ex_l2)
@@ -75,7 +80,9 @@ def main(argv=None):
     variants = [
         ("dense", "auto"),      # planar dense-grid kernel path (dense3)
         ("pairs", "auto"),      # XLA pair-bucket indexed_sum
-        ("pairs", "pallas"),    # ops/schur_pallas.py pair-stream kernel
+        # a third variant — the ops/schur_pallas.py pair-stream kernel —
+        # was measured in the round-4 shootout (SCHUR_COMPARE.json:
+        # 5.1-124 ms/iter, dominated by dense at every shape) and deleted
     ]
     rows = []
     for name in args.sets.split(","):

@@ -373,8 +373,7 @@ def y_blocks(W, Vinv, pt_idx):
     )
 
 
-def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None,
-            backend="xla"):
+def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None):
     """Assemble the dense reduced camera matrix S [6C, 6C]
     (kern_compute_S, CL_files/compute_S.cl:40-56).
 
@@ -382,23 +381,23 @@ def schur_S(U, Y, W, pair_o1, pair_o2, pair_bucket, n_cams, psum=None,
     kern_update_UV before kern_compute_S, levmar.cpp:126-130) and must be
     mesh-global; `psum` (MeshCtx.psum) reduces the shard-local off-diagonal
     sums. Padded pair entries carry bucket C*C, which lands in a discarded
-    overflow segment."""
-    C = n_cams
-    if backend == "pallas":
-        from psba_tpu.ops.schur_pallas import schur_off_pallas
+    overflow segment.
 
-        off = schur_off_pallas(Y, W, pair_o1, pair_o2, pair_bucket, C)
-    else:
-        contrib = jnp.einsum(
-            "nij,nkj->nik", Y[pair_o1], W[pair_o2],
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [N,6,6]
-        # bucket reduction: MXU one-hot matmul on TPU, scatter elsewhere;
-        # padded pair entries carry bucket C*C and contribute nothing
-        off = indexed_sum(
-            contrib.reshape(-1, 36), pair_bucket, C * C,
-            indices_are_sorted=True,
-        ).reshape(C * C, 6, 6)
+    (A Pallas pair-stream variant existed through round 3; the measured
+    shootout — SCHUR_COMPARE.json — showed the dense encoding 10-15x
+    faster on every shape where either pairs variant could win, so the
+    kernel was removed and pairs is XLA-only.)"""
+    C = n_cams
+    contrib = jnp.einsum(
+        "nij,nkj->nik", Y[pair_o1], W[pair_o2],
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [N,6,6]
+    # bucket reduction: MXU one-hot matmul on TPU, scatter elsewhere;
+    # padded pair entries carry bucket C*C and contribute nothing
+    off = indexed_sum(
+        contrib.reshape(-1, 36), pair_bucket, C * C,
+        indices_are_sorted=True,
+    ).reshape(C * C, 6, 6)
     if psum is not None:
         off = psum(off)
     S = -off.reshape(C, C, 6, 6)

@@ -232,15 +232,26 @@ def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
     def init_fn(pa, cams, pts):
         return OptState.init(pa, cams, pts, clamp=cfg.clamp_quat, ctx=ctx)
 
-    def lm_fn(pa, state):
-        return lm_run(pa, state, cfg, ctx=ctx)
+    def lm_fn(pa, state, iter_cap):
+        return lm_run(pa, state, cfg, ctx=ctx, iter_cap=iter_cap)
 
-    def tr_fn(pa, state):
-        return tr_run(pa, state, cfg, ctx=ctx)
+    def tr_fn(pa, state, iter_cap):
+        return tr_run(pa, state, cfg, ctx=ctx, iter_cap=iter_cap)
 
     init_s = smap(init_fn, (pa_spec, P(), P(AXIS)), init_spec)
-    lm_s = smap(lm_fn, (pa_spec, state_spec), state_spec)
-    tr_s = smap(tr_fn, (pa_spec, state_spec), state_spec)
+    # iter_cap is a replicated traced scalar: one compiled executable
+    # serves every run length (chunked checkpointing, fixed-work timing)
+    lm_c = smap(lm_fn, (pa_spec, state_spec, P()), state_spec)
+    tr_c = smap(tr_fn, (pa_spec, state_spec, P()), state_spec)
+
+    def lm_s(pa, state, iter_cap=None):
+        cap = cfg.max_iters if iter_cap is None else iter_cap
+        return lm_c(pa, state, jnp.int32(cap))
+
+    def tr_s(pa, state, iter_cap=None):
+        cap = cfg.max_iters if iter_cap is None else iter_cap
+        return tr_c(pa, state, jnp.int32(cap))
+
     return pa_global, cams0, pts0, init_s, lm_s, tr_s
 
 

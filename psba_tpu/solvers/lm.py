@@ -160,16 +160,14 @@ def lm_run(
 
     pallas = use_pallas(cfg, dtype)
     # Schur encoding is a pytree-structure property of pa (types.py): dense
-    # blk_idx stacking when present, covisibility pair list otherwise. The
-    # pair-stream Pallas S kernel is gather-bound and only wins when
-    # explicitly requested (see ops/schur_pallas.py).
+    # blk_idx stacking when present, covisibility pair list otherwise
+    # (dense measured 10-15x faster everywhere it fits — SCHUR_COMPARE.json)
     dense = pa.blk_idx is not None
     # fully planar dense path: ZW/V/gb born planar from the dense-grid
     # kernel (ops.linearize_dense_pallas) — no stack_blocks gather, no
     # [P, 3, 3] relayouts anywhere in the damping-retry loop
     dense3 = dense and pallas and pa.obs_du is not None
     marq = cfg.damping == "marquardt"
-    s_backend = "pallas" if cfg.backend == "pallas" else "xla"
     # collective for the O(C^2) S assembly (cfg.s_reduce)
     s_psum = ctx.psum_rs if cfg.s_reduce == "scatter" else ctx.psum
 
@@ -261,7 +259,7 @@ def lm_run(
                 Y = y_blocks(W, Vinv, pa.pt_idx)
                 S = schur_S(
                     U_d, Y, W, pa.pair_o1, pa.pair_o2, pa.pair_bucket, C,
-                    psum=s_psum, backend=s_backend,
+                    psum=s_psum,
                 )
                 ea = reduced_rhs(
                     ga, gb, Y, pa.cam_idx, pa.pt_idx, C, psum=ctx.psum

@@ -200,7 +200,6 @@ def tr_run(
     dense = pa.blk_idx is not None
     # fully planar dense path (see solvers/lm.py dense3)
     dense3 = dense and pallas and pa.obs_du is not None
-    s_backend = "pallas" if cfg.backend == "pallas" else "xla"
     # collective for the O(C^2) S assembly (cfg.s_reduce)
     s_psum = ctx.psum_rs if cfg.s_reduce == "scatter" else ctx.psum
 
@@ -290,7 +289,7 @@ def tr_run(
                 Y = y_blocks(W, Vinv, pa.pt_idx)
                 S = schur_S(
                     U_d, Y, W, pa.pair_o1, pa.pair_o2, pa.pair_bucket, C,
-                    psum=s_psum, backend=s_backend,
+                    psum=s_psum,
                 )
                 ea = reduced_rhs(
                     g_c, g_p, Y, pa.cam_idx, pa.pt_idx, C, psum=ctx.psum

@@ -13,7 +13,6 @@ from psba_tpu.core.jacobian import jacobians
 from psba_tpu.core.residual import error_l2, residuals
 from psba_tpu.ops.linearize_pallas import linearize_pallas, residual_l2_pallas
 from psba_tpu.ops.reduce import indexed_sum
-from psba_tpu.ops.schur_pallas import schur_off_pallas
 
 
 @pytest.fixture(scope="module")
@@ -88,25 +87,6 @@ def test_residual_l2_kernel(fx):
     ex_x = residuals(K, q0, cams, pts, obs, p.cam_idx, p.pt_idx)
     np.testing.assert_allclose(np.asarray(ex), np.asarray(ex_x), atol=1e-3)
     np.testing.assert_allclose(float(l2), float(error_l2(ex_x)), rtol=1e-5)
-
-
-def test_schur_off_pallas(fx):
-    p, K, q0, cams, pts = fx
-    rng = np.random.default_rng(0)
-    Y = jnp.array(rng.standard_normal((p.n_obs, 6, 3)), jnp.float32)
-    W = jnp.array(rng.standard_normal((p.n_obs, 6, 3)), jnp.float32)
-    off_p = schur_off_pallas(
-        Y, W, jnp.asarray(p.pair_o1), jnp.asarray(p.pair_o2),
-        jnp.asarray(p.pair_bucket), p.n_cams,
-    )
-    contrib = jnp.einsum("nij,nkj->nik", Y[p.pair_o1], W[p.pair_o2])
-    off_x = indexed_sum(
-        contrib.reshape(-1, 36), jnp.asarray(p.pair_bucket),
-        p.n_cams ** 2, force="scatter",
-    ).reshape(p.n_cams ** 2, 6, 6)
-    np.testing.assert_allclose(
-        np.asarray(off_p), np.asarray(off_x), rtol=1e-4, atol=1e-3
-    )
 
 
 def test_indexed_sum_modes():
