@@ -90,7 +90,7 @@ def bench_dataset(name, dtype, iters=10, damping="additive"):
         solve_wall_warm_s=round(res_warm.wall_s, 3),
     )
     cap50 = SolverConfig.for_dtype(dtype).max_iters
-    if res.flag_name == "ITER_CONTINUE" and res.iterations >= cap50:
+    if res.flag_name == "CONTINUE" and res.iterations >= cap50:
         row["budget_note"] = (
             f"ended at the reference's shared {cap50}-iteration cap "
             "(levmar.cpp:100) still improving; CONTINUE = budget "
@@ -194,6 +194,9 @@ def main(argv=None):
         "54camsvarKD,9camsvarK,7camsvarK"
     ))
     ap.add_argument("--out", default=None)
+    ap.add_argument("--damping", default="additive",
+                    choices=["additive", "marquardt"],
+                    help="damping model for the first attempt")
     args = ap.parse_args(argv)
 
     import jax
@@ -216,10 +219,35 @@ def main(argv=None):
                     indent=1,
                 )
 
+    def _degenerate(r):
+        # LM's dp-small stop can fire on iteration 1 when additive damping
+        # seeds mu at tau*max(diag) on a badly scaled problem: the first
+        # step is genuinely negligible, but the "optimum" is the starting
+        # point. Treat a no-progress early stop as a failed attempt.
+        return (
+            r.get("iterations", 99) <= 3
+            and r.get("final_error", 0.0) > 0.9 * r.get("initial_error", 1.0)
+        )
+
     for name in args.sets.split(","):
         print(f"--- {name}", file=sys.stderr, flush=True)
         try:
-            rows.append(bench_dataset(name.strip(), dtype))
+            r = bench_dataset(name.strip(), dtype, damping=args.damping)
+            if args.damping == "additive" and _degenerate(r):
+                print(f"    additive stopped with no progress "
+                      f"(it={r['iterations']}); retrying marquardt",
+                      file=sys.stderr, flush=True)
+                r2 = bench_dataset(name.strip(), dtype, damping="marquardt")
+                r2["additive_note"] = (
+                    f"additive damping stopped at iteration "
+                    f"{r['iterations']} ({r['flag']}) with error "
+                    f"{r['final_error']:.3e} ~ initial "
+                    f"{r['initial_error']:.3e}: mu = tau*max(diag U) is "
+                    "~1e20 on this problem's scaling, so the first step "
+                    "is below the dp-small stop"
+                )
+                r = r2
+            rows.append(r)
             print(json.dumps(rows[-1]), flush=True)
         except Exception as e:
             # reference-parity additive damping cannot survive real BAL

@@ -112,8 +112,9 @@ def main(argv=None):
 
         with open(rpath) as f:
             for row in json.load(f)["rows"]:
-                if "lm_iter_ms" not in row or row["lm_iter_ms"] < 0.2:
-                    continue  # below tunnel measurement noise
+                it = row.get("lm_iter_ms")
+                if it is None or it < 0.2:
+                    continue  # unmeasurable / below tunnel noise
                 C, P, O = row["cams"], row["pts"], row["obs"]
                 it = row["lm_iter_ms"]
                 roof = lm_iter_roofline(C, P, O)
