@@ -1,0 +1,174 @@
+"""Subtractive ablation of the dense3 LM iteration (Trafalgar-21, f32).
+
+Swaps one pipeline stage at a time for a free/stub variant INSIDE lm_run
+and re-measures the marginal per-iteration cost (bench.py method, one
+compiled executable per variant via the dynamic iter_cap). Stubbed
+variants converge WRONG — the numbers are timing attributions only.
+The printed deltas attribute the measured-vs-roofline gap to stages in
+their real fusion context, which isolated-stage timing cannot do.
+
+    PYTHONPATH=. python benchmarks/ablate_dense3.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+N1, N2 = 2, 12
+
+
+def marginal_ms(pa, state0, cfg):
+    from psba_tpu.solvers.lm import lm_run
+
+    # fresh wrapper per variant: jax.jit caches on the callable identity,
+    # so re-jitting lm_run directly would silently reuse unpatched traces
+    def _variant(pa, state, cfg, iter_cap):
+        return lm_run(pa, state, cfg, iter_cap=iter_cap)
+
+    run = jax.jit(_variant, static_argnames=("cfg",))
+
+    def timed(n):
+        out = run(pa, state0, cfg, jnp.int32(n))
+        out.ex_l2.block_until_ready()
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = run(pa, state0, cfg, jnp.int32(n))
+            out.ex_l2.block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return min(ts), float(out.ex_l2)
+
+    t1, _ = timed(N1)
+    t2, l2 = timed(N2)
+    return (t2 - t1) / (N2 - N1) * 1e3, l2
+
+
+def main():
+    from psba_tpu.core import schur
+    from psba_tpu.io import load_problem
+    from psba_tpu.solvers import lm
+    from psba_tpu.solvers.types import OptState, ProblemArrays, SolverConfig
+
+    data = "/root/reference/data"
+    prob = load_problem(
+        f"{data}/Trafalgar-21-11315-cams.txt",
+        f"{data}/Trafalgar-21-11315-pts.txt",
+    )
+    pa = ProblemArrays.from_problem(prob, dtype=jnp.float32)
+    cams = jnp.asarray(prob.cams, jnp.float32)
+    pts = jnp.asarray(prob.pts, jnp.float32)
+    state0 = OptState.init(pa, cams, pts)
+    C = prob.n_cams
+
+    cfg = SolverConfig(
+        max_iters=N2, stop_thresh=1e-30, lm_switch_count=10_000
+    )
+
+    results = {}
+
+    def run(name):
+        ms, l2 = marginal_ms(pa, state0, cfg)
+        results[name] = (ms, l2)
+        print(f"{name:30s} {ms:8.3f} ms/iter   l2={l2:.2f}", flush=True)
+
+    # first measurement in a process runs slow (tunnel/device warm-up)
+    marginal_ms(pa, state0, cfg)
+    run("baseline")
+
+    # --- S Cholesky factor+solve -> diagonal stub
+    orig_spd = lm.spd_solve
+    lm.spd_solve = lambda S, b: (b / jnp.diagonal(S), jnp.bool_(True))
+    run("spd_solve->diag")
+    lm.spd_solve = orig_spd
+
+    # --- planar 3x3 inverse -> plain cofactor (no scale, no fallback)
+    orig_inv3 = lm.inv3x3_planar3
+
+    def inv_plain(Vp):
+        a, b, c = Vp[0, 0], Vp[0, 1], Vp[0, 2]
+        d, e, f = Vp[1, 1], Vp[1, 2], Vp[2, 2]
+        co00 = d * f - e * e
+        co01 = c * e - b * f
+        co02 = b * e - c * d
+        inv_det = 1.0 / (a * co00 + b * co01 + c * co02)
+        co11 = a * f - c * c
+        co12 = b * c - a * e
+        co22 = a * d - b * b
+        V = jnp.stack([
+            jnp.stack([co00, co01, co02], 0),
+            jnp.stack([co01, co11, co12], 0),
+            jnp.stack([co02, co12, co22], 0),
+        ], 0) * inv_det[None, None]
+        return V, jnp.bool_(True)
+
+    lm.inv3x3_planar3 = inv_plain
+    run("inv3x3->plain-cofactor")
+    lm.inv3x3_planar3 = orig_inv3
+
+    # --- S assembly matmuls at DEFAULT (bf16) instead of HIGHEST (6-pass)
+    orig_prec = schur._PREC
+    schur._PREC = jax.lax.Precision.DEFAULT
+    run("S-matmuls bf16")
+    schur._PREC = orig_prec
+
+    # --- trial residual kernel -> reuse current residual (no reprojection)
+    orig_res = lm.residual_l2_pallas
+
+    def res_stub(K, q0, cams_, pts_, obs, ci, pi, valid, clamp=False):
+        z = jnp.zeros((obs.shape[0], 2), jnp.float32)
+        return z, jnp.asarray(0.0, jnp.float32)
+
+    lm.residual_l2_pallas = res_stub
+    run("trial-residual->stub")
+    lm.residual_l2_pallas = orig_res
+
+    # --- dense-grid linearization -> zero factor (identity V)
+    orig_dense = lm.linearize_dense_pallas
+
+    def dense_stub(K, q0, cams_, pts_, du, dv, vd, clamp=False):
+        P = vd.shape[1]
+        step = 2048
+        Pp = ((P + step - 1) // step) * step
+        z = jnp.zeros((6 * C, Pp), jnp.float32)
+        eye = jnp.broadcast_to(
+            jnp.eye(3, dtype=jnp.float32)[:, :, None], (3, 3, Pp)
+        )
+        return z, z, z, eye, jnp.zeros((3, Pp), jnp.float32), Pp
+
+    lm.linearize_dense_pallas = dense_stub
+    run("dense-grid-lin->stub")
+    lm.linearize_dense_pallas = orig_dense
+
+    # --- obs-stream linearization (U/ga) -> identity-U stub
+    orig_lin = lm.linearize_pallas
+
+    def lin_stub(K, q0, cams_, pts_, obs, ci, pi, valid, C_, P_,
+                 clamp=False, want_point=True, want_w=True, want_jac=False):
+        O = obs.shape[0]
+        z2 = jnp.zeros((O, 2), jnp.float32)
+        U = jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (C_, 6, 6))
+        ga = jnp.zeros((C_, 6), jnp.float32)
+        return (z2, jnp.asarray(0.0, jnp.float32), U, None, None, ga,
+                None, None, None)
+
+    lm.linearize_pallas = lin_stub
+    run("obs-stream-lin->stub")
+    lm.linearize_pallas = orig_lin
+
+    base = results["baseline"][0]
+    print("\ndelta vs baseline (negative = stage cost):")
+    for k, (ms, _) in results.items():
+        if k != "baseline":
+            print(f"{k:30s} {ms - base:+8.3f} ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

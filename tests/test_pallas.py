@@ -154,6 +154,39 @@ def test_linearize_dense_matches_xla(prob_synth):
     assert float(jnp.max(jnp.abs(gbp[:, P:]))) == 0.0 if Pp > P else True
 
 
+def test_linearize_dense_chunk_padding(prob_synth, monkeypatch):
+    """Camera chunking (in-kernel fori_loop over G cameras per grid
+    step) with a padded final chunk: force G below n_cams so zero-padded
+    camera slots are exercised; outputs must be invariant to G."""
+    from psba_tpu.ops import linearize_dense as ld
+
+    p = prob_synth.with_blk()
+    f32 = jnp.float32
+    from psba_tpu.solvers.types import ProblemArrays
+    pa = ProblemArrays.from_problem(p, dtype=f32, schur="dense")
+    cams = jnp.asarray(p.cams, f32)
+    pts = jnp.asarray(p.pts, f32)
+    assert p.n_cams >= 3, "fixture too small to chunk"
+
+    ref = ld.linearize_dense_pallas(
+        pa.K, pa.q0, cams, pts, pa.obs_du, pa.obs_dv, pa.valid_d
+    )
+    # G = 2 with odd-ish C forces ceil-division chunking + a padded slot
+    monkeypatch.setattr(ld, "G_MAX", 2)
+    ld.linearize_dense_pallas.clear_cache()
+    try:
+        out = ld.linearize_dense_pallas(
+            pa.K, pa.q0, cams, pts, pa.obs_du, pa.obs_dv, pa.valid_d
+        )
+    finally:
+        monkeypatch.undo()
+        ld.linearize_dense_pallas.clear_cache()
+    for a, b in zip(ref[:5], out[:5]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+
 def test_dense_padded_lanes_identity(prob_synth):
     """Padded planar V lanes are seeded with identity so inv3x3_planar3's
     ok flag (and its lax.cond fallback gate) ignore them: at mu=0 the
