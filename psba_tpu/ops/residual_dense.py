@@ -1,0 +1,174 @@
+"""Dense-grid Pallas TPU kernel for the trial-step gain ratio.
+
+The LM/TR acceptance test needs exactly two scalars per trial step:
+the actual gain  sum(ex_old^2 - ex_new^2)  and the trial error
+sum(ex_new^2). The reference reads the whole residual vector back and
+reduces on the host (levmar.cpp:185-198, trust_region.cpp:204-212); the
+previous TPU path materialized new_ex [O,2] via an observation-stream
+gather kernel and reduced it against the carried ex with an XLA pass
+(core.residual.error_l2_diff). This kernel instead walks the dense
+(camera x point-tile) grid once, evaluates the forward model at the
+OLD and NEW parameters in the same tile visit, and accumulates the
+factored per-cell difference (eo - en)(eo + en) — the conditioning of
+error_l2_diff, exact in infinite precision — directly into a [2, 8, TL]
+lane accumulator. No gather, no [O,2] residual materialization, and the
+dense3 solvers no longer need to carry `ex` at all (OptState.ex rides
+through the dense3 phases untouched; every solve/polish boundary
+re-derives it via OptState.init).
+
+Same tiling/chunking scheme as ops.linearize_dense (8-sublane vregs,
+in-kernel fori_loop over G cameras per grid step). float32 only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from psba_tpu.ops.linearize_dense import G_MAX, TL, _interpret, _pad_p
+
+
+def _cell_residual(kq_ref, camv_ref, c, x1, x2, x3, obsu, obsv, vmask,
+                   clamp):
+    """Forward model of one camera against a point tile: returns the
+    masked residual (exu, exv) [8, TL]. Same math as the residual part
+    of ops.linearize_dense._dense_kernel (kern_compute_exQT parity,
+    CL_files/compute_exQT.cl)."""
+    fu, u0, v0 = kq_ref[0, c], kq_ref[1, c], kq_ref[2, c]
+    ar, sk = kq_ref[3, c], kq_ref[4, c]
+    a, b, cc, d = kq_ref[5, c], kq_ref[6, c], kq_ref[7, c], kq_ref[8, c]
+    v1, v2, v3 = camv_ref[0, c], camv_ref[1, c], camv_ref[2, c]
+    t1, t2, t3 = camv_ref[3, c], camv_ref[4, c], camv_ref[5, c]
+
+    s2 = 1.0 - v1 * v1 - v2 * v2 - v3 * v3
+    if clamp:
+        s2 = jnp.maximum(s2, 0.0)
+    s = jnp.sqrt(s2)
+
+    t01 = 2.0 * (cc * x3 - d * x2)
+    t02 = 2.0 * (d * x1 - b * x3)
+    t03 = 2.0 * (b * x2 - cc * x1)
+    X01 = x1 + a * t01 + (cc * t03 - d * t02)
+    X02 = x2 + a * t02 + (d * t01 - b * t03)
+    X03 = x3 + a * t03 + (b * t02 - cc * t01)
+
+    w1 = v2 * X03 - v3 * X02
+    w2 = v3 * X01 - v1 * X03
+    w3 = v1 * X02 - v2 * X01
+
+    p1 = X01 + 2.0 * (s * w1 + v2 * w3 - v3 * w2) + t1
+    p2 = X02 + 2.0 * (s * w2 + v3 * w1 - v1 * w3) + t2
+    p3 = X03 + 2.0 * (s * w3 + v1 * w2 - v2 * w1) + t3
+
+    # masked cells can sit at p3 ~ 0; keep the division finite
+    p3 = jnp.where(vmask > 0.0, p3, 1.0)
+    iz = 1.0 / p3
+    pu = (fu * p1 + sk * p2 + u0 * p3) * iz
+    pv = (fu * ar * p2 + v0 * p3) * iz
+    return (obsu - pu) * vmask, (obsv - pv) * vmask
+
+
+def _gain_kernel(kq_ref, co_ref, cn_ref, Xo_ref, Xn_ref,
+                 obsu_ref, obsv_ref, valid_ref, acc_ref, *, G, clamp):
+    p_id = pl.program_id(0)
+    cg = pl.program_id(1)
+
+    # the [2, 8, TL] accumulator block is const-indexed: every grid step
+    # visits it, the very first one initializes it
+    @pl.when((p_id == 0) & (cg == 0))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xo1, xo2, xo3 = Xo_ref[0], Xo_ref[1], Xo_ref[2]    # [8, TL]
+    xn1, xn2, xn3 = Xn_ref[0], Xn_ref[1], Xn_ref[2]
+
+    def body(g, _):
+        c = cg * G + g
+        vmask = valid_ref[pl.ds(g, 1), :, :][0]
+        obsu = obsu_ref[pl.ds(g, 1), :, :][0]
+        obsv = obsv_ref[pl.ds(g, 1), :, :][0]
+        eou, eov = _cell_residual(
+            kq_ref, co_ref, c, xo1, xo2, xo3, obsu, obsv, vmask, clamp
+        )
+        enu, env = _cell_residual(
+            kq_ref, cn_ref, c, xn1, xn2, xn3, obsu, obsv, vmask, clamp
+        )
+        # factored difference: exact in infinite precision, conditioned
+        # for f32 near convergence (see core.residual.error_l2_diff)
+        acc_ref[0] += (eou - enu) * (eou + enu) + (eov - env) * (eov + env)
+        acc_ref[1] += enu * enu + env * env
+        return 0
+
+    jax.lax.fori_loop(0, G, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("clamp",))
+def gain_dense_pallas(K, q0, cams, pts, new_cams, new_pts,
+                      obs_du, obs_dv, valid_d, clamp=False):
+    """Trial-step acceptance scalars on the dense (cam x point) grid.
+
+    Returns (gain, new_l2):
+      gain   = sum over observed cells of ex_old^2 - ex_new^2, factored
+               per cell as (eo - en)(eo + en)
+      new_l2 = sum over observed cells of ex_new^2
+    """
+    f32 = jnp.float32
+    C, P = valid_d.shape
+    step = 8 * TL
+    Pp = ((P + step - 1) // step) * step
+    n_pt = Pp // step
+    G = min(C, G_MAX)
+    n_cg = -(-C // G)
+    G = -(-C // n_cg)
+    Cp = n_cg * G
+
+    kq = jnp.concatenate([K, q0], axis=1).astype(f32).T      # [9, C]
+    co = cams.astype(f32).T                                  # [6, C]
+    cn = new_cams.astype(f32).T
+    if Cp != C:
+        kq = jnp.pad(kq, ((0, 0), (0, Cp - C)))
+        co = jnp.pad(co, ((0, 0), (0, Cp - C)))
+        cn = jnp.pad(cn, ((0, 0), (0, Cp - C)))
+    Xo = _pad_p(pts.astype(f32).T, Pp).reshape(3, 8, Pp // 8)
+    Xn = _pad_p(new_pts.astype(f32).T, Pp).reshape(3, 8, Pp // 8)
+
+    def _pad_rows(arr):
+        out = _pad_p(arr.astype(f32), Pp)
+        if Cp != C:
+            out = jnp.pad(out, ((0, Cp - C), (0, 0)))
+        return out.reshape(Cp, 8, Pp // 8)
+
+    ou = _pad_rows(obs_du)
+    ov = _pad_rows(obs_dv)
+    vd = _pad_rows(valid_d)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    x_spec = pl.BlockSpec(
+        (3, 8, TL), lambda p, cg: (jnp.int32(0), jnp.int32(0), p),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec(
+        (G, 8, TL), lambda p, cg: (cg, jnp.int32(0), p),
+        memory_space=pltpu.VMEM,
+    )
+    acc_spec = pl.BlockSpec(
+        (2, 8, TL),
+        lambda p, cg: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+
+    acc = pl.pallas_call(
+        functools.partial(_gain_kernel, G=G, clamp=clamp),
+        grid=(n_pt, n_cg),
+        in_specs=[smem, smem, smem, x_spec, x_spec,
+                  row_spec, row_spec, row_spec],
+        out_specs=acc_spec,
+        out_shape=jax.ShapeDtypeStruct((2, 8, TL), f32),
+        interpret=_interpret(),
+    )(kq, co, cn, Xo, Xn, ou, ov, vd)
+
+    return jnp.sum(acc[0]), jnp.sum(acc[1])

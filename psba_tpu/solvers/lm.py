@@ -65,6 +65,7 @@ from psba_tpu.ops.linearize_pallas import (
     linearize_pallas,
     residual_l2_pallas,
 )
+from psba_tpu.ops.residual_dense import gain_dense_pallas
 from psba_tpu.parallel.ctx import NO_MESH, MeshCtx
 from psba_tpu.solvers.types import OptState, ProblemArrays, SolverConfig
 
@@ -289,7 +290,15 @@ def lm_run(
             # trial step (levmar.cpp:185-195)
             new_cams = t.cams + dpa
             new_pts = t.pts + dpb
-            if pallas:
+            if dense3:
+                # gain computed in one dense-grid pass over (old, new)
+                # params (ops.residual_dense) — no [O,2] residual is
+                # materialized and t.ex is never read on this path
+                gain_k, _new_l2 = gain_dense_pallas(
+                    pa.K, pa.q0, t.cams, t.pts, new_cams, new_pts,
+                    pa.obs_du, pa.obs_dv, pa.valid_d, clamp=cfg.clamp_quat,
+                )
+            elif pallas:
                 new_ex, new_l2 = residual_l2_pallas(
                     pa.K, pa.q0, new_cams, new_pts, pa.obs, pa.cam_idx,
                     pa.pt_idx, pa.valid, clamp=cfg.clamp_quat,
@@ -313,9 +322,13 @@ def lm_run(
                 denom = jnp.sum(dpa * (t.mu * dpa + ga)) + ctx.psum(
                     jnp.sum(dpb * (t.mu * dpb + gb))
                 )
-            # gain-ratio numerator in factored form (error_l2_diff): exact
-            # in infinite precision, conditioned for f32 near convergence
-            gain = ctx.psum(error_l2_diff(t.ex, new_ex, valid=pa.valid))
+            # gain-ratio numerator in factored form (error_l2_diff /
+            # gain_dense_pallas): exact in infinite precision, conditioned
+            # for f32 near convergence
+            if dense3:
+                gain = ctx.psum(gain_k)
+            else:
+                gain = ctx.psum(error_l2_diff(t.ex, new_ex, valid=pa.valid))
             rho = gain / denom
             rho = jnp.where(ok, rho, -1.0)
 
@@ -352,7 +365,10 @@ def lm_run(
             return _Inner(
                 cams=jnp.where(accept, new_cams, t.cams),
                 pts=jnp.where(accept, new_pts, t.pts),
-                ex=jnp.where(accept, new_ex, t.ex),
+                # dense3 never materializes residual vectors: ex rides the
+                # carry untouched (OptState.init re-derives it at every
+                # solve/polish boundary; no consumer reads it mid-phase)
+                ex=t.ex if dense3 else jnp.where(accept, new_ex, t.ex),
                 ex_l2=jnp.where(accept, t.ex_l2 - gain, t.ex_l2),
                 mu=jnp.where(
                     stopped, t.mu,

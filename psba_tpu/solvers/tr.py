@@ -59,6 +59,7 @@ from psba_tpu.ops.linearize_pallas import (
     linearize_pallas,
     residual_l2_pallas,
 )
+from psba_tpu.ops.residual_dense import gain_dense_pallas
 from psba_tpu.parallel.ctx import NO_MESH, MeshCtx
 from psba_tpu.solvers.lm import use_pallas
 from psba_tpu.solvers.types import OptState, ProblemArrays, SolverConfig
@@ -369,20 +370,33 @@ def tr_run(
             )
             new_cams = m.cams + p_c
             new_pts = m.pts + p_p
-            if pallas:
+            if dense3:
+                # one dense-grid pass over (old, new) params yields the
+                # factored gain and the trial error together — no [O,2]
+                # residual materialization, m.ex never read on this path
+                gain_k, act_k = gain_dense_pallas(
+                    pa.K, pa.q0, m.cams, m.pts, new_cams, new_pts,
+                    pa.obs_du, pa.obs_dv, pa.valid_d, clamp=cfg.clamp_quat,
+                )
+                gain, act = ctx.psum(gain_k), ctx.psum(act_k)
+            elif pallas:
                 new_ex, act = residual_l2_pallas(
                     pa.K, pa.q0, new_cams, new_pts, pa.obs, pa.cam_idx,
                     pa.pt_idx, pa.valid, clamp=cfg.clamp_quat,
                 )
                 act = ctx.psum(act)
+                gain = ctx.psum(
+                    error_l2_diff(m.ex, new_ex, valid=pa.valid)
+                )
             else:
                 new_ex = residuals(
                     pa.K, pa.q0, new_cams, new_pts, pa.obs, pa.cam_idx,
                     pa.pt_idx, clamp=cfg.clamp_quat,
                 )
                 act = ctx.psum(error_l2(new_ex, valid=pa.valid))
-
-            gain = ctx.psum(error_l2_diff(m.ex, new_ex, valid=pa.valid))
+                gain = ctx.psum(
+                    error_l2_diff(m.ex, new_ex, valid=pa.valid)
+                )
             tiny = jnp.abs(gain / m.ex_l2) < cfg.eps2
 
             Jp = jmultiply(A, B, p_c, p_p, pa.cam_idx, pa.pt_idx)
@@ -441,7 +455,8 @@ def tr_run(
             return _ModelCarry(
                 cams=jnp.where(accept, new_cams, m.cams),
                 pts=jnp.where(accept, new_pts, m.pts),
-                ex=jnp.where(accept, new_ex, m.ex),
+                # dense3: ex rides the carry untouched (see solvers/lm.py)
+                ex=m.ex if dense3 else jnp.where(accept, new_ex, m.ex),
                 ex_l2=jnp.where(track, m.ex_l2 - gain, m.ex_l2),
                 dk=dk_next,
                 lam=lam_next,

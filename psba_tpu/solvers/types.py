@@ -145,7 +145,10 @@ class OptState(NamedTuple):
 
     cams: jnp.ndarray      # [C,6]
     pts: jnp.ndarray       # [P,3]
-    ex: jnp.ndarray        # [O,2] residual at current params
+    ex: jnp.ndarray        # [O,2] residual at current params. NOTE: the
+    # dense3 fast path computes trial gains in-kernel (ops.residual_dense)
+    # and leaves ex at its phase-entry value; no consumer reads it
+    # mid-phase, and every solve/polish boundary re-derives it via init()
     ex_l2: jnp.ndarray     # scalar
     itno: jnp.ndarray      # global iteration counter (shared LM+TR)
     flag: jnp.ndarray      # ITER_* code

@@ -187,6 +187,42 @@ def test_linearize_dense_chunk_padding(prob_synth, monkeypatch):
         )
 
 
+def test_gain_dense_matches_xla(prob_synth):
+    """Dense-grid gain kernel (ops.residual_dense.gain_dense_pallas):
+    (gain, new_l2) must match residuals + error_l2_diff/error_l2 on the
+    observation stream."""
+    from psba_tpu.core.residual import error_l2_diff
+    from psba_tpu.ops.residual_dense import gain_dense_pallas
+    from psba_tpu.solvers.types import ProblemArrays
+
+    p = prob_synth.with_blk()
+    f32 = jnp.float32
+    pa = ProblemArrays.from_problem(p, dtype=f32, schur="dense")
+    rng = np.random.default_rng(3)
+    cams = jnp.asarray(p.cams, f32)
+    pts = jnp.asarray(p.pts, f32)
+    new_cams = cams + jnp.asarray(
+        1e-3 * rng.standard_normal(cams.shape), f32
+    )
+    new_pts = pts + jnp.asarray(
+        1e-3 * rng.standard_normal(pts.shape), f32
+    )
+
+    gain, new_l2 = gain_dense_pallas(
+        pa.K, pa.q0, cams, pts, new_cams, new_pts,
+        pa.obs_du, pa.obs_dv, pa.valid_d,
+    )
+
+    ex_o = residuals(pa.K, pa.q0, cams, pts, pa.obs, pa.cam_idx, pa.pt_idx)
+    ex_n = residuals(
+        pa.K, pa.q0, new_cams, new_pts, pa.obs, pa.cam_idx, pa.pt_idx
+    )
+    gain_x = float(error_l2_diff(ex_o, ex_n))
+    l2_x = float(error_l2(ex_n))
+    np.testing.assert_allclose(float(gain), gain_x, rtol=1e-4)
+    np.testing.assert_allclose(float(new_l2), l2_x, rtol=1e-5)
+
+
 def test_dense_padded_lanes_identity(prob_synth):
     """Padded planar V lanes are seeded with identity so inv3x3_planar3's
     ok flag (and its lax.cond fallback gate) ignore them: at mu=0 the
