@@ -36,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -53,15 +54,22 @@ def _interpret() -> bool:
 
 
 def _dense_kernel(kq_ref, camv_ref, X_ref, obsu_ref, obsv_ref, valid_ref,
-                  zw0_ref, zw1_ref, zw2_ref, vpack_ref, *, G, clamp):
-    cg = pl.program_id(1)
+                  zw0_ref, zw1_ref, zw2_ref, vpack_ref, *opt_refs,
+                  G, clamp):
+    # grid = (n_cg, n_pt), point axis fastest: the per-chunk U/ga
+    # accumulator block (const-indexed in p) is revisited consecutively
+    upack_ref = opt_refs[0] if opt_refs else None
+    cg = pl.program_id(0)
+    p_id = pl.program_id(1)
 
-    # V pack accumulates over camera chunks; the chunk axis is the
-    # fastest grid dim, so the block visit is consecutive and the
-    # cg == 0 step initializes it
-    @pl.when(cg == 0)
-    def _():
-        vpack_ref[...] = jnp.zeros_like(vpack_ref)
+    # each (cg, p) step owns a fresh V-pack partial block (summed over
+    # chunks outside the kernel); zero it before the camera loop
+    vpack_ref[...] = jnp.zeros_like(vpack_ref)
+    if upack_ref is not None:
+        # U/ga accumulate across the point grid for this camera chunk
+        @pl.when(p_id == 0)
+        def _():
+            upack_ref[...] = jnp.zeros_like(upack_ref)
 
     x1, x2, x3 = X_ref[0], X_ref[1], X_ref[2]          # [8, TL]
 
@@ -171,6 +179,21 @@ def _dense_kernel(kq_ref, camv_ref, X_ref, obsu_ref, obsv_ref, valid_ref,
                 )
         for i in range(3):
             vpack_ref[9 + i] += B[0][i] * exu + B[1][i] * exv
+
+        if upack_ref is not None:
+            # camera-side normal equations as per-lane partials: 21
+            # upper-triangle U entries (A^T A) + 6 gradient entries
+            # (A^T ex) per camera, one [27, 8, TL] read-modify-write
+            rows = []
+            for i in range(6):
+                for j in range(i, 6):
+                    rows.append(A[0][i] * A[0][j] + A[1][i] * A[1][j])
+            for i in range(6):
+                rows.append(A[0][i] * exu + A[1][i] * exv)
+            new27 = jnp.stack(rows, axis=0)
+            base = g * 27
+            cur = upack_ref[pl.ds(base, 27), :, :]
+            upack_ref[pl.ds(base, 27), :, :] = cur + new27
         return 0
 
     jax.lax.fori_loop(0, G, body, 0)
@@ -201,9 +224,9 @@ def _pad_p(arr, Pp):
     return jnp.pad(arr, pad)
 
 
-@functools.partial(jax.jit, static_argnames=("clamp",))
+@functools.partial(jax.jit, static_argnames=("clamp", "want_u"))
 def linearize_dense_pallas(K, q0, cams, pts, obs_du, obs_dv, valid_d,
-                           clamp=False):
+                           clamp=False, want_u=False):
     """Planar dense-grid linearization.
 
     Returns (ZW0, ZW1, ZW2, Vp, gbp, Pp):
@@ -211,6 +234,13 @@ def linearize_dense_pallas(K, q0, cams, pts, obs_du, obs_dv, valid_d,
       Vp  [3, 3, Pp] planar point Hessian blocks (coeff-free B^T B)
       gbp [3, Pp]   planar point gradient (B^T ex)
     Pp is P padded to the kernel tile (padded columns are all-zero).
+
+    With want_u=True, additionally returns (..., Pp, U, ga): the camera
+    normal-equation blocks U [C, 6, 6] (A^T A, symmetric) and gradient
+    ga [C, 6] (A^T ex), accumulated in-kernel as per-lane partials and
+    lane-reduced here — the dense3 solvers then need no observation-
+    stream kernel at all (this subsumes kern_compute_U / kern_compute_g,
+    CL_files/compute_U.cl / compute_g.cl, on the dense path).
     """
     f32 = jnp.float32
     C, P = valid_d.shape
@@ -251,43 +281,59 @@ def linearize_dense_pallas(K, q0, cams, pts, obs_du, obs_dv, valid_d,
     vd = _pad_rows(valid_d)
 
     # index maps must return i32 scalars (see ops.linearize_pallas) and
-    # must not capture traced constants
+    # must not capture traced constants. Grid = (n_cg, n_pt), point axis
+    # fastest: for a fixed camera chunk the U/ga accumulator block is
+    # revisited consecutively across point tiles; the V pack is written
+    # as per-chunk partials (one block per (cg, p)) and chunk-summed
+    # below instead.
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     x_spec = pl.BlockSpec(
-        (3, 8, TL), lambda p, cg: (jnp.int32(0), jnp.int32(0), p),
+        (3, 8, TL), lambda cg, p: (jnp.int32(0), jnp.int32(0), p),
         memory_space=pltpu.VMEM,
     )
     row_spec = pl.BlockSpec(
-        (G, 8, TL), lambda p, cg: (cg, jnp.int32(0), p),
+        (G, 8, TL), lambda cg, p: (cg, jnp.int32(0), p),
         memory_space=pltpu.VMEM,
     )
     zw_spec = pl.BlockSpec(
-        (6 * G, 8, TL), lambda p, cg: (cg, jnp.int32(0), p),
+        (6 * G, 8, TL), lambda cg, p: (cg, jnp.int32(0), p),
         memory_space=pltpu.VMEM,
     )
     v_spec = pl.BlockSpec(
-        (12, 8, TL), lambda p, cg: (jnp.int32(0), jnp.int32(0), p),
+        (12, 8, TL), lambda cg, p: (cg, jnp.int32(0), p),
         memory_space=pltpu.VMEM,
     )
+    out_specs = [zw_spec, zw_spec, zw_spec, v_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((6 * Cp, 8, Pp // 8), f32),
+        jax.ShapeDtypeStruct((6 * Cp, 8, Pp // 8), f32),
+        jax.ShapeDtypeStruct((6 * Cp, 8, Pp // 8), f32),
+        jax.ShapeDtypeStruct((12 * n_cg, 8, Pp // 8), f32),
+    ]
+    if want_u:
+        out_specs.append(pl.BlockSpec(
+            (27 * G, 8, TL),
+            lambda cg, p: (cg, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape.append(jax.ShapeDtypeStruct((27 * Cp, 8, TL), f32))
 
-    zw0, zw1, zw2, vpack = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_dense_kernel, G=G, clamp=clamp),
-        grid=(n_pt, n_cg),
+        grid=(n_cg, n_pt),
         in_specs=[smem, smem, x_spec, row_spec, row_spec, row_spec],
-        out_specs=[zw_spec, zw_spec, zw_spec, v_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((6 * Cp, 8, Pp // 8), f32),
-            jax.ShapeDtypeStruct((6 * Cp, 8, Pp // 8), f32),
-            jax.ShapeDtypeStruct((6 * Cp, 8, Pp // 8), f32),
-            jax.ShapeDtypeStruct((12, 8, Pp // 8), f32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
     )(kq, camv, Xp, ou, ov, vd)
+    zw0, zw1, zw2, vpack = outs[:4]
 
     ZW0 = zw0.reshape(6 * Cp, Pp)[:6 * C]
     ZW1 = zw1.reshape(6 * Cp, Pp)[:6 * C]
     ZW2 = zw2.reshape(6 * Cp, Pp)[:6 * C]
-    vp = vpack.reshape(12, Pp)
+    vp = vpack.reshape(n_cg, 12, Pp).sum(axis=0) if n_cg > 1 else (
+        vpack.reshape(12, Pp)
+    )
     Vp = vp[:9].reshape(3, 3, Pp)
     gbp = vp[9:]
     if Pp != P:
@@ -300,4 +346,14 @@ def linearize_dense_pallas(K, q0, cams, pts, obs_du, obs_dv, valid_d,
         pad = (jnp.arange(Pp) >= P)[None, None, :]
         eye = jnp.eye(3, dtype=f32)[:, :, None]
         Vp = jnp.where(pad, eye, Vp)
-    return ZW0, ZW1, ZW2, Vp, gbp, Pp
+    if not want_u:
+        return ZW0, ZW1, ZW2, Vp, gbp, Pp
+    # lane-reduce the U/ga partials: [27*Cp, 8, TL] -> [Cp, 27] -> the
+    # symmetric [C, 6, 6] camera blocks + [C, 6] gradient
+    us = outs[4].sum(axis=(1, 2)).reshape(Cp, 27)[:C]
+    iu, ju = np.triu_indices(6)
+    U = jnp.zeros((C, 6, 6), f32)
+    U = U.at[:, iu, ju].set(us[:, :21])
+    U = U.at[:, ju, iu].set(us[:, :21])
+    ga = us[:, 21:]
+    return ZW0, ZW1, ZW2, Vp, gbp, Pp, U, ga

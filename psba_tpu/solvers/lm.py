@@ -175,17 +175,12 @@ def lm_run(
     def outer_body(s: _Outer):
         P_loc = s.pts.shape[0]
         if dense3:
-            # U/ga ride the obs-stream kernel (one-hot MXU reduction);
-            # ZW/V/gb are born planar from the dense-grid kernel — the
-            # whole retry loop below is full-lane planar, gather-free
-            _ex_k, _l2, U, _, _, ga, _, _, _ = linearize_pallas(
-                pa.K, pa.q0, s.cams, s.pts, pa.obs, pa.cam_idx, pa.pt_idx,
-                pa.valid, C, P_loc, clamp=cfg.clamp_quat,
-                want_point=False, want_w=False,
-            )
-            ZW0, ZW1, ZW2, Vp, gbp3, _Pp = linearize_dense_pallas(
+            # ONE dense-grid kernel births everything: ZW/V/gb planar
+            # plus the camera-side U/ga (in-kernel lane partials) — no
+            # observation-stream kernel anywhere in the dense3 iteration
+            ZW0, ZW1, ZW2, Vp, gbp3, _Pp, U, ga = linearize_dense_pallas(
                 pa.K, pa.q0, s.cams, s.pts, pa.obs_du, pa.obs_dv,
-                pa.valid_d, clamp=cfg.clamp_quat,
+                pa.valid_d, clamp=cfg.clamp_quat, want_u=True,
             )
             ZW3 = (ZW0, ZW1, ZW2)
             gb = gbp3[:, :P_loc].T              # [P, 3] for denominators
