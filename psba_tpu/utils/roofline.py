@@ -17,10 +17,14 @@ Counting conventions
     effective peak is peak_bf16/6 (exposed as `mxu_f32_tflops`).
   - flops_vpu: elementwise/transcendental work, 1 flop per scalar op.
 
-Stage cost formulas cover the dense-Schur f32 fast path (the bench
-configuration): linearize_pallas, point segment-sum, stack_blocks, and the
-per-damping-retry chain damp/inv3x3/schur_S_dense/reduced_rhs/spd_solve/
-back_substitute/trial-residual (solvers/lm.py outer+inner bodies).
+Stage cost formulas cover the dense3 f32 fast path (the bench
+configuration, solvers/lm.py outer+inner bodies): ONE fused dense-grid
+linearization kernel (ZW/V/gb planar + in-kernel U/ga partials,
+ops.linearize_dense), its U/ga lane reduction, and the per-damping-retry
+chain damp/inv3x3/schur_S_dense3/reduced_rhs/spd_solve(Pallas Cholesky)/
+back_substitute/gain-kernel. The obs-stream kernel formulas
+(linearize_pallas / residual_l2_pallas) are kept for the pairs-encoding
+path but no longer appear in the dense3 iteration aggregate.
 """
 
 from __future__ import annotations
@@ -121,14 +125,21 @@ def lm_stage_costs(C: int, P: int, O: int, itemsize: int = 4,
         flops_mxu=2.0 * 42 * C * Op,
         flops_vpu=500.0 * Op,
     )
-    # --- linearize_dense_pallas: dense (C x point-tile) grid; reads the
-    # point coordinates once per camera row plus the three dense obs
-    # tables, writes the planar ZW (18C rows of P) + V pack (12 rows);
-    # ~260 VPU flops per (c, p) cell for forward model + Jacobian + packs
+    # --- linearize_dense_pallas (want_u=True): dense (C x point-tile)
+    # grid; reads the three dense obs tables + point coordinates, writes
+    # the planar ZW (18C rows of P) + V pack (12 rows) + the U/ga lane
+    # partials (27C rows of one 2048-lane tile); ~260 VPU flops per
+    # (c, p) cell for forward model + Jacobian + packs, ~150 more for
+    # the 27 A^T A / A^T ex entries
     costs["linearize_dense"] = StageCost(
         "linearize_dense",
-        bytes=(3 * C * P + 3 * P + (18 * C + 12) * P) * b,
-        flops_vpu=260.0 * C * P,
+        bytes=(3 * C * P + 3 * P + (18 * C + 12) * P + 27 * C * 2048) * b,
+        flops_vpu=410.0 * C * P,
+    )
+    # --- U/ga lane reduction + symmetric unpack (XLA, tiny)
+    costs["u_ga_reduce"] = StageCost(
+        "u_ga_reduce", bytes=(2 * 27 * C * 2048 + 42 * C) * b,
+        flops_vpu=27.0 * C * 2048,
     )
     # --- per-retry chain -------------------------------------------------
     costs["damp_uv"] = StageCost(
@@ -152,8 +163,10 @@ def lm_stage_costs(C: int, P: int, O: int, itemsize: int = 4,
         "reduced_rhs_dense", bytes=(18 * C * P + 3 * P + 6 * C) * b,
         flops_vpu=36.0 * C * P,
     )
-    # XLA Cholesky + two triangular solves on [6C,6C]: trivial flops/bytes,
-    # but column-sequential — the latency floor is 6C dependent steps
+    # single-kernel Pallas Cholesky factor+solve on [6C,6C]
+    # (ops.cholesky_pallas): trivial flops/bytes, but column-sequential —
+    # the latency floor is 6C dependent steps (now inside ONE kernel, so
+    # the per-step cost is a VPU op sequence, not an XLA dispatch)
     costs["spd_solve"] = StageCost(
         "spd_solve", bytes=(3 * 36 * C * C) * b,
         flops_vpu=(6 * C) ** 3 / 3.0 + 2.0 * (6 * C) ** 2,
@@ -164,26 +177,34 @@ def lm_stage_costs(C: int, P: int, O: int, itemsize: int = 4,
         flops_vpu=36.0 * C * P + 18.0 * P,
     )
     # trial residual: stream prep (reads params, writes 20 rows) + kernel
-    # (reads 21 rows, writes ex) + the handful of [O,2]/param-sized
-    # elementwise ops for gain/accept bookkeeping
+    # (reads 21 rows, writes ex). Pairs-encoding path only.
     costs["residual_l2_pallas"] = StageCost(
         "residual_l2_pallas",
         bytes=(20 * O + 21 * Op + 2 * Op) * b,
         flops_vpu=120.0 * Op,
     )
+    # dense3 trial: the gain kernel evaluates the forward model at the
+    # old AND new params in one dense-grid pass (ops.residual_dense) and
+    # accumulates the factored gain + trial error into one lane tile
+    costs["gain_dense"] = StageCost(
+        "gain_dense",
+        bytes=(3 * C * P + 2 * 3 * P + 2 * 2048) * b,
+        flops_vpu=130.0 * C * P,
+    )
     costs["accept_bookkeeping"] = StageCost(
         "accept_bookkeeping",
-        bytes=(4 * 2 * O + 6 * (6 * C + 3 * P)) * b,  # ex diffs + param dots
-        flops_vpu=8.0 * O + 12.0 * (C + P),
+        bytes=(6 * (6 * C + 3 * P)) * b,   # param-sized dots/updates only
+        flops_vpu=12.0 * (C + P),
     )
     return costs
 
 
 # stages that run once per outer iteration vs once per damping retry
-OUTER_STAGES = ("linearize_pallas", "linearize_dense")
+# (the dense3 pipeline: one fused linearization kernel, no obs stream)
+OUTER_STAGES = ("linearize_dense", "u_ga_reduce")
 RETRY_STAGES = (
     "damp_uv", "inv3x3", "schur_S_dense", "reduced_rhs_dense", "spd_solve",
-    "back_substitute", "residual_l2_pallas", "accept_bookkeeping",
+    "back_substitute", "gain_dense", "accept_bookkeeping",
 )
 
 
@@ -237,7 +258,11 @@ def summarize(C: int, P: int, O: int, measured_iter_ms: float,
                  convention; tiny here because BA iterations are
                  bandwidth/latency-dominated, not matmul-dominated)
     hbm_frac   : achieved HBM bandwidth / peak (the binding roofline)
-    sol_frac   : speed-of-light fraction = roofline_ms / measured_ms
+    sol_frac   : speed-of-light fraction = roofline_ms / measured_ms.
+                 Can legitimately exceed 1: the model SUMS per-stage
+                 times (each stage max(hbm, mxu, vpu)), while the real
+                 executable overlaps one stage's DMA with another's
+                 compute, so the additive model is a mild pessimist.
     bound      : which hardware term binds the roofline ("hbm"/"mxu"/"vpu");
                  measured time above ~2x the roofline indicates the real
                  limiter is dispatch/sequential-op latency instead
