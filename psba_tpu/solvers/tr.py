@@ -38,6 +38,7 @@ from psba_tpu.core.linalg import spd_solve
 from psba_tpu.core.residual import error_l2, error_l2_diff, residuals
 from psba_tpu.core.schur import (
     back_substitute,
+    h_gram_dense3,
     back_substitute_dense,
     back_substitute_dense3,
     damp_v_planar,
@@ -120,7 +121,10 @@ def _subspace_step(dot, pu_c, pu_p, pb_c, pb_p, g_c, g_p,
                    pUtBpU, pUtBpB, pBtBpB, delta):
     """compute_p_2 (trust_region.cpp:520-595): minimize the quadratic model
     over span{P_U, P_B}; fall back to scaled-P_U / P_B / classic dogleg when
-    the minimizer leaves the radius. Returns (p_cams, p_pts, p_norm).
+    the minimizer leaves the radius. Returns (p_cams, p_pts, p_norm,
+    alpha, beta) with p = alpha*P_U + beta*P_B — every branch lies in
+    span{P_U, P_B}, so the caller derives p^T B p from the precomputed
+    2x2 Gram instead of re-applying J (see core.schur.h_gram_dense3).
     `dot` is the mesh-aware split inner product."""
     pUg = dot(pu_c, pu_p, g_c, g_p)
     pBg = dot(pb_c, pb_p, g_c, g_p)
@@ -164,7 +168,15 @@ def _subspace_step(dot, pu_c, pu_p, pb_c, pb_p, g_c, g_p,
     out_norm = jnp.where(
         inside, p_norm, jnp.where(use_pb, pb_norm, delta)
     )
-    return out_c, out_p, out_norm
+    alpha = jnp.where(
+        inside, eta1,
+        jnp.where(use_pu, scale_pu, jnp.where(use_pb, 0.0, 2.0 - tau)),
+    )
+    beta = jnp.where(
+        inside, eta2,
+        jnp.where(use_pu, 0.0, jnp.where(use_pb, 1.0, tau - 1.0)),
+    )
+    return out_c, out_p, out_norm, alpha, beta
 
 
 def tr_run(
@@ -207,16 +219,14 @@ def tr_run(
     def outer_body(s: _Outer):
         # B-blocks carry coeff 2, g = -(2 J^T ex) (trust_region.cpp:122-137)
         if dense3:
-            # A/B (for jmultiply) + U/ga from the obs-stream kernel;
-            # ZW/V/gb born planar from the dense-grid kernel
-            _ex_k, _l2, U1, _, _, ga1, _, A, B = linearize_pallas(
-                pa.K, pa.q0, s.cams, s.pts, pa.obs, pa.cam_idx, pa.pt_idx,
-                pa.valid, C, P, clamp=cfg.clamp_quat, want_jac=True,
-                want_point=False, want_w=False,
-            )
-            ZW0, ZW1, ZW2, Vp1, gbp1, _Pp = linearize_dense_pallas(
+            # ONE dense-grid kernel births everything (ZW/V/gb planar +
+            # U/ga in-kernel partials); the obs-stream kernel and the
+            # jacobian stream are gone from this path — all J-dependent
+            # curvature scalars come from h_gram_dense3 on the planar
+            # blocks instead of compute_Jmultiply
+            ZW0, ZW1, ZW2, Vp1, gbp1, _Pp, U1, ga1 = linearize_dense_pallas(
                 pa.K, pa.q0, s.cams, s.pts, pa.obs_du, pa.obs_dv,
-                pa.valid_d, clamp=cfg.clamp_quat,
+                pa.valid_d, clamp=cfg.clamp_quat, want_u=True,
             )
             # every Schur-system block carries the TR coeff 2 (B = 2 J^T J,
             # trust_region.cpp:122-137): U, V, W, and g alike — the kernel
@@ -262,8 +272,14 @@ def tr_run(
         ))
         gm = jnp.where(gm > 0.0, gm, 1.0)
         gh_c, gh_p = g_c / gm, g_p / gm
-        Jg = jmultiply(A, B, gh_c, gh_p, pa.cam_idx, pa.pt_idx)
-        gtBg_n = 2.0 * ctx.psum(jnp.sum(Jg * Jg))     # = g^T B g / gm^2
+        if dense3:
+            # g^T B g via the planar blocks (B-scaled U/ZW3/Vp above)
+            gtBg_n = h_gram_dense3(
+                U, ZW3, Vp, gh_c[None], (g_pp3 / gm)[None], psum=ctx.psum
+            )[0, 0]
+        else:
+            Jg = jmultiply(A, B, gh_c, gh_p, pa.cam_idx, pa.pt_idx)
+            gtBg_n = 2.0 * ctx.psum(jnp.sum(Jg * Jg))  # = g^T B g / gm^2
         gtg_n = _dot(gh_c, gh_p, gh_c, gh_p)          # = g^T g / gm^2
         scal = -(gtg_n / gtBg_n)
         pu_c, pu_p = scal * g_c, scal * g_p
@@ -351,11 +367,23 @@ def tr_run(
         solve_aborted = t.failed_out | (~t.solved)
 
         # curvature scalars (trust_region.cpp:166-176)
-        Jpu = jmultiply(A, B, pu_c, pu_p, pa.cam_idx, pa.pt_idx)
-        Jpb = jmultiply(A, B, pb_c, pb_p, pa.cam_idx, pa.pt_idx)
-        pUtBpU = 2.0 * ctx.psum(jnp.sum(Jpu * Jpu))
-        pUtBpB = 2.0 * ctx.psum(jnp.sum(Jpu * Jpb))
-        pBtBpB = 2.0 * ctx.psum(jnp.sum(Jpb * Jpb))
+        if dense3:
+            pu_pp3 = scal * g_pp3
+            Pp = g_pp3.shape[1]         # static planar width
+            pb_pp3 = jnp.pad(pb_p.T, ((0, 0), (0, Pp - P)))
+            Gm = h_gram_dense3(
+                U, ZW3, Vp,
+                jnp.stack([pu_c, pb_c], axis=0),
+                jnp.stack([pu_pp3, pb_pp3], axis=0),
+                psum=ctx.psum,
+            )
+            pUtBpU, pUtBpB, pBtBpB = Gm[0, 0], Gm[0, 1], Gm[1, 1]
+        else:
+            Jpu = jmultiply(A, B, pu_c, pu_p, pa.cam_idx, pa.pt_idx)
+            Jpb = jmultiply(A, B, pb_c, pb_p, pa.cam_idx, pa.pt_idx)
+            pUtBpU = 2.0 * ctx.psum(jnp.sum(Jpu * Jpu))
+            pUtBpB = 2.0 * ctx.psum(jnp.sum(Jpu * Jpb))
+            pBtBpB = 2.0 * ctx.psum(jnp.sum(Jpb * Jpb))
 
         # --- model/radius loop (trust_region.cpp:180-279)
         def model_cond(m: _ModelCarry):
@@ -364,7 +392,7 @@ def tr_run(
             return (m.flag == CC.ITER_CONTINUE) & (m.tries < 200)
 
         def model_body(m: _ModelCarry):
-            p_c, p_p, p_norm = _subspace_step(
+            p_c, p_p, p_norm, p_alpha, p_beta = _subspace_step(
                 _dot, pu_c, pu_p, pb_c, pb_p, g_c, g_p,
                 pUtBpU, pUtBpB, pBtBpB, m.dk,
             )
@@ -399,8 +427,16 @@ def tr_run(
                 )
             tiny = jnp.abs(gain / m.ex_l2) < cfg.eps2
 
-            Jp = jmultiply(A, B, p_c, p_p, pa.cam_idx, pa.pt_idx)
-            ptBp = 2.0 * ctx.psum(jnp.sum(Jp * Jp))
+            # p = alpha*P_U + beta*P_B (every _subspace_step branch), so
+            # p^T B p expands over the precomputed 2x2 Gram — the
+            # reference's per-try J p materialization
+            # (trust_region.cpp:204-212 via compute_Jmultiply) is
+            # algebraically redundant
+            ptBp = (
+                p_alpha * p_alpha * pUtBpU
+                + 2.0 * p_alpha * p_beta * pUtBpB
+                + p_beta * p_beta * pBtBpB
+            )
             pred = m.ex_l2 + _dot(g_c, g_p, p_c, p_p) + 0.5 * ptBp
             rho = gain / (m.ex_l2 - pred)
 
