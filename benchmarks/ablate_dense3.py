@@ -118,21 +118,22 @@ def main():
     run("S-matmuls bf16")
     schur._PREC = orig_prec
 
-    # --- trial residual kernel -> reuse current residual (no reprojection)
-    orig_res = lm.residual_l2_pallas
+    # --- dense gain kernel -> constant positive gain (always accept-ish)
+    orig_gain = lm.gain_dense_pallas
 
-    def res_stub(K, q0, cams_, pts_, obs, ci, pi, valid, clamp=False):
-        z = jnp.zeros((obs.shape[0], 2), jnp.float32)
-        return z, jnp.asarray(0.0, jnp.float32)
+    def gain_stub(K, q0, cams_, pts_, nc, npts, du, dv, vd, clamp=False):
+        one = jnp.asarray(1.0, jnp.float32)
+        return one, one
 
-    lm.residual_l2_pallas = res_stub
-    run("trial-residual->stub")
-    lm.residual_l2_pallas = orig_res
+    lm.gain_dense_pallas = gain_stub
+    run("gain-kernel->stub")
+    lm.gain_dense_pallas = orig_gain
 
-    # --- dense-grid linearization -> zero factor (identity V)
+    # --- dense-grid linearization (incl. fused U/ga) -> constant stub
     orig_dense = lm.linearize_dense_pallas
 
-    def dense_stub(K, q0, cams_, pts_, du, dv, vd, clamp=False):
+    def dense_stub(K, q0, cams_, pts_, du, dv, vd, clamp=False,
+                   want_u=False):
         P = vd.shape[1]
         step = 2048
         Pp = ((P + step - 1) // step) * step
@@ -140,27 +141,15 @@ def main():
         eye = jnp.broadcast_to(
             jnp.eye(3, dtype=jnp.float32)[:, :, None], (3, 3, Pp)
         )
-        return z, z, z, eye, jnp.zeros((3, Pp), jnp.float32), Pp
+        out = (z, z, z, eye, jnp.zeros((3, Pp), jnp.float32), Pp)
+        if want_u:
+            U = jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (C, 6, 6))
+            out = out + (U, jnp.zeros((C, 6), jnp.float32))
+        return out
 
     lm.linearize_dense_pallas = dense_stub
     run("dense-grid-lin->stub")
     lm.linearize_dense_pallas = orig_dense
-
-    # --- obs-stream linearization (U/ga) -> identity-U stub
-    orig_lin = lm.linearize_pallas
-
-    def lin_stub(K, q0, cams_, pts_, obs, ci, pi, valid, C_, P_,
-                 clamp=False, want_point=True, want_w=True, want_jac=False):
-        O = obs.shape[0]
-        z2 = jnp.zeros((O, 2), jnp.float32)
-        U = jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (C_, 6, 6))
-        ga = jnp.zeros((C_, 6), jnp.float32)
-        return (z2, jnp.asarray(0.0, jnp.float32), U, None, None, ga,
-                None, None, None)
-
-    lm.linearize_pallas = lin_stub
-    run("obs-stream-lin->stub")
-    lm.linearize_pallas = orig_lin
 
     base = results["baseline"][0]
     print("\ndelta vs baseline (negative = stage cost):")

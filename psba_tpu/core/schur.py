@@ -377,35 +377,6 @@ def back_substitute_dense3(gbp, ZW3, Vinv, dpa):
     )
 
 
-def h_gram_dense3(U, ZW3, Vp, xcs, xps, psum=None):
-    """Gram matrix of direction vectors under the planar Hessian blocks:
-    G[a, b] = x_a^T H x_b with H = [[U, W], [W^T, V]], x = (xc, xp).
-
-    xcs [n, C, 6] camera parts (replicated on a mesh); xps [n, 3, Pp]
-    planar point parts (local shard). Replaces the TR curvature scalars
-    p^T B p that the reference computes by materializing J p per
-    observation (trust_region.cpp:166-176 via compute_Jmultiply): with
-    the planar dense3 factor in hand, x^T (J^T J) x is one [6C, Pp]
-    matmul pass + two tiny einsums — no jacobian stream, and the model
-    loop's per-try p^T B p follows algebraically from this 2x2 Gram
-    since every candidate step lies in span{P_U, P_B}."""
-    n = xcs.shape[0]
-    Xc = xcs.reshape(n, -1)                                  # [n, 6C]
-    WY = sum(
-        jnp.matmul(ZW3[k], xps[:, k, :].T, precision=_PREC)  # [6C, n]
-        for k in range(3)
-    )
-    cross = jnp.matmul(Xc, WY, precision=_PREC)              # xa_c W xb_p
-    Ut = jnp.einsum("acx,cxy,bcy->ab", xcs, U, xcs,
-                    precision=_PREC)
-    Vt = jnp.einsum("ijp,aip,bjp->ab", Vp, xps, xps,
-                    precision=_PREC)
-    pt_terms = cross + cross.T + Vt
-    if psum is not None:
-        pt_terms = psum(pt_terms)
-    return Ut + pt_terms
-
-
 def y_blocks(W, Vinv, pt_idx):
     """Y_o = W_o Vinv_{i(o)}  [O,6,3] (kern_compute_Yblks)."""
     return jnp.einsum(

@@ -53,6 +53,102 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _cell_model(kq_ref, camv_ref, c, x1, x2, x3, vmask, clamp,
+                obsu=None, obsv=None):
+    """Forward model + analytic jacobian of camera `c` against a point
+    tile: returns (A, B, exu, exv) with A the 2x6 camera-jacobian rows
+    and B the 2x3 point-jacobian rows (tuples of [8, TL] values, masked
+    by vmask); exu/exv are None unless the observation tile is given.
+    Shared by the linearization, gain, and J-gram dense kernels."""
+    fu, u0, v0 = kq_ref[0, c], kq_ref[1, c], kq_ref[2, c]
+    ar, sk = kq_ref[3, c], kq_ref[4, c]
+    a, b, cc, d = kq_ref[5, c], kq_ref[6, c], kq_ref[7, c], kq_ref[8, c]
+    v1, v2, v3 = camv_ref[0, c], camv_ref[1, c], camv_ref[2, c]
+    t1, t2, t3 = camv_ref[3, c], camv_ref[4, c], camv_ref[5, c]
+
+    s2 = 1.0 - v1 * v1 - v2 * v2 - v3 * v3
+    if clamp:
+        s2 = jnp.maximum(s2, 0.0)
+    s = jnp.sqrt(s2)
+
+    # X0 = R(q0) X   (scalar q0 x point vectors)
+    t01 = 2.0 * (cc * x3 - d * x2)
+    t02 = 2.0 * (d * x1 - b * x3)
+    t03 = 2.0 * (b * x2 - cc * x1)
+    X01 = x1 + a * t01 + (cc * t03 - d * t02)
+    X02 = x2 + a * t02 + (d * t01 - b * t03)
+    X03 = x3 + a * t03 + (b * t02 - cc * t01)
+
+    w1 = v2 * X03 - v3 * X02
+    w2 = v3 * X01 - v1 * X03
+    w3 = v1 * X02 - v2 * X01
+
+    p1 = X01 + 2.0 * (s * w1 + v2 * w3 - v3 * w2) + t1
+    p2 = X02 + 2.0 * (s * w2 + v3 * w1 - v1 * w3) + t2
+    p3 = X03 + 2.0 * (s * w3 + v1 * w2 - v2 * w1) + t3
+
+    # unseen cells can sit at p3 ~ 0 (point behind / beside the
+    # camera): guard the division so masked garbage never turns
+    # into inf * 0 = nan
+    p3 = jnp.where(vmask > 0.0, p3, 1.0)
+    iz = 1.0 / p3
+    exu = exv = None
+    if obsu is not None:
+        pu = (fu * p1 + sk * p2 + u0 * p3) * iz
+        pv = (fu * ar * p2 + v0 * p3) * iz
+        exu = (obsu - pu) * vmask
+        exv = (obsv - pv) * vmask
+
+    # dproj/dp_c rows
+    du = (fu * iz, sk * iz, -(fu * p1 + sk * p2) * iz * iz)
+    dv = (jnp.zeros_like(iz), fu * ar * iz, -(fu * ar * p2) * iz * iz)
+
+    # dp_c/dv (see ops.linearize_pallas._jacobian_rows)
+    inv_s = 1.0 / s
+    g1 = -2.0 * (inv_s * w1 + X01)
+    g2 = -2.0 * (inv_s * w2 + X02)
+    g3 = -2.0 * (inv_s * w3 + X03)
+    cdot = 2.0 * (v1 * X01 + v2 * X02 + v3 * X03)
+    s2_ = 2.0 * s
+    M = (
+        (g1 * v1 + cdot, g1 * v2 + s2_ * X03 + 2 * w3,
+         g1 * v3 - s2_ * X02 - 2 * w2),
+        (g2 * v1 - s2_ * X03 - 2 * w3, g2 * v2 + cdot,
+         g2 * v3 + s2_ * X01 + 2 * w1),
+        (g3 * v1 + s2_ * X02 + 2 * w2, g3 * v2 - s2_ * X01 - 2 * w1,
+         g3 * v3 + cdot),
+    )
+
+    # composed rotation R(q), q = q_local(v) (x) q0 — scalar entries
+    qw = s * a - (v1 * b + v2 * cc + v3 * d)
+    qx = s * b + a * v1 + (v2 * d - v3 * cc)
+    qy = s * cc + a * v2 + (v3 * b - v1 * d)
+    qz = s * d + a * v3 + (v1 * cc - v2 * b)
+    R = (
+        (1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+         2 * (qx * qz + qy * qw)),
+        (2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qx * qw)),
+        (2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+         1 - 2 * (qx * qx + qy * qy)),
+    )
+
+    def rowdot(pr, Mcols):
+        return tuple(
+            pr[0] * Mcols[0][k] + pr[1] * Mcols[1][k]
+            + pr[2] * Mcols[2][k]
+            for k in range(3)
+        )
+
+    A = []
+    B = []
+    for pr in (du, dv):
+        rot = rowdot(pr, M)
+        A.append(tuple(x * vmask for x in rot + pr))   # 6 cols
+        B.append(tuple(x * vmask for x in rowdot(pr, R)))
+    return A, B, exu, exv
+
+
 def _dense_kernel(kq_ref, camv_ref, X_ref, obsu_ref, obsv_ref, valid_ref,
                   zw0_ref, zw1_ref, zw2_ref, vpack_ref, *opt_refs,
                   G, clamp):
@@ -75,94 +171,14 @@ def _dense_kernel(kq_ref, camv_ref, X_ref, obsu_ref, obsv_ref, valid_ref,
 
     def body(g, _):
         c = cg * G + g
-        # camera scalars from SMEM (shared by the whole tile); padded
-        # cameras (c >= C) are all-zero -> s = 1, vmask = 0 below, so
+        # padded cameras (c >= C) are all-zero -> s = 1, vmask = 0, so
         # every contribution they make is masked to exactly zero
-        fu, u0, v0 = kq_ref[0, c], kq_ref[1, c], kq_ref[2, c]
-        ar, sk = kq_ref[3, c], kq_ref[4, c]
-        a, b, cc, d = kq_ref[5, c], kq_ref[6, c], kq_ref[7, c], kq_ref[8, c]
-        v1, v2, v3 = camv_ref[0, c], camv_ref[1, c], camv_ref[2, c]
-        t1, t2, t3 = camv_ref[3, c], camv_ref[4, c], camv_ref[5, c]
         vmask = valid_ref[pl.ds(g, 1), :, :][0]        # [8, TL] f32
-
-        s2 = 1.0 - v1 * v1 - v2 * v2 - v3 * v3
-        if clamp:
-            s2 = jnp.maximum(s2, 0.0)
-        s = jnp.sqrt(s2)
-
-        # X0 = R(q0) X   (scalar q0 x point vectors)
-        t01 = 2.0 * (cc * x3 - d * x2)
-        t02 = 2.0 * (d * x1 - b * x3)
-        t03 = 2.0 * (b * x2 - cc * x1)
-        X01 = x1 + a * t01 + (cc * t03 - d * t02)
-        X02 = x2 + a * t02 + (d * t01 - b * t03)
-        X03 = x3 + a * t03 + (b * t02 - cc * t01)
-
-        w1 = v2 * X03 - v3 * X02
-        w2 = v3 * X01 - v1 * X03
-        w3 = v1 * X02 - v2 * X01
-
-        p1 = X01 + 2.0 * (s * w1 + v2 * w3 - v3 * w2) + t1
-        p2 = X02 + 2.0 * (s * w2 + v3 * w1 - v1 * w3) + t2
-        p3 = X03 + 2.0 * (s * w3 + v1 * w2 - v2 * w1) + t3
-
-        # unseen cells can sit at p3 ~ 0 (point behind / beside the
-        # camera): guard the division so masked garbage never turns
-        # into inf * 0 = nan
-        p3 = jnp.where(vmask > 0.0, p3, 1.0)
-        iz = 1.0 / p3
-        pu = (fu * p1 + sk * p2 + u0 * p3) * iz
-        pv = (fu * ar * p2 + v0 * p3) * iz
-        exu = (obsu_ref[pl.ds(g, 1), :, :][0] - pu) * vmask
-        exv = (obsv_ref[pl.ds(g, 1), :, :][0] - pv) * vmask
-
-        # dproj/dp_c rows
-        du = (fu * iz, sk * iz, -(fu * p1 + sk * p2) * iz * iz)
-        dv = (jnp.zeros_like(iz), fu * ar * iz, -(fu * ar * p2) * iz * iz)
-
-        # dp_c/dv (see ops.linearize_pallas._jacobian_rows)
-        inv_s = 1.0 / s
-        g1 = -2.0 * (inv_s * w1 + X01)
-        g2 = -2.0 * (inv_s * w2 + X02)
-        g3 = -2.0 * (inv_s * w3 + X03)
-        cdot = 2.0 * (v1 * X01 + v2 * X02 + v3 * X03)
-        s2_ = 2.0 * s
-        M = (
-            (g1 * v1 + cdot, g1 * v2 + s2_ * X03 + 2 * w3,
-             g1 * v3 - s2_ * X02 - 2 * w2),
-            (g2 * v1 - s2_ * X03 - 2 * w3, g2 * v2 + cdot,
-             g2 * v3 + s2_ * X01 + 2 * w1),
-            (g3 * v1 + s2_ * X02 + 2 * w2, g3 * v2 - s2_ * X01 - 2 * w1,
-             g3 * v3 + cdot),
+        A, B, exu, exv = _cell_model(
+            kq_ref, camv_ref, c, x1, x2, x3, vmask, clamp,
+            obsu=obsu_ref[pl.ds(g, 1), :, :][0],
+            obsv=obsv_ref[pl.ds(g, 1), :, :][0],
         )
-
-        # composed rotation R(q), q = q_local(v) (x) q0 — scalar entries
-        qw = s * a - (v1 * b + v2 * cc + v3 * d)
-        qx = s * b + a * v1 + (v2 * d - v3 * cc)
-        qy = s * cc + a * v2 + (v3 * b - v1 * d)
-        qz = s * d + a * v3 + (v1 * cc - v2 * b)
-        R = (
-            (1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
-             2 * (qx * qz + qy * qw)),
-            (2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
-             2 * (qy * qz - qx * qw)),
-            (2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
-             1 - 2 * (qx * qx + qy * qy)),
-        )
-
-        def rowdot(pr, Mcols):
-            return tuple(
-                pr[0] * Mcols[0][k] + pr[1] * Mcols[1][k]
-                + pr[2] * Mcols[2][k]
-                for k in range(3)
-            )
-
-        A = []
-        B = []
-        for pr in (du, dv):
-            rot = rowdot(pr, M)
-            A.append(tuple(x * vmask for x in rot + pr))   # 6 cols
-            B.append(tuple(x * vmask for x in rowdot(pr, R)))
 
         # ZW_k rows: W[i, k] = sum_r A[r][i] B[r][k]
         for k, zw_ref in enumerate((zw0_ref, zw1_ref, zw2_ref)):

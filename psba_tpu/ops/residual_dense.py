@@ -26,10 +26,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from psba_tpu.ops.linearize_dense import G_MAX, TL, _interpret, _pad_p
+from psba_tpu.ops.linearize_dense import (
+    G_MAX,
+    TL,
+    _cell_model,
+    _interpret,
+    _pad_p,
+)
 
 
 def _cell_residual(kq_ref, camv_ref, c, x1, x2, x3, obsu, obsv, vmask,
@@ -172,3 +179,129 @@ def gain_dense_pallas(K, q0, cams, pts, new_cams, new_pts,
     )(kq, co, cn, Xo, Xn, ou, ov, vd)
 
     return jnp.sum(acc[0]), jnp.sum(acc[1])
+
+
+def _jgram_kernel(kq_ref, camv_ref, dc_ref, X_ref, dp_ref, valid_ref,
+                  acc_ref, *, G, n, clamp):
+    p_id = pl.program_id(0)
+    cg = pl.program_id(1)
+
+    @pl.when((p_id == 0) & (cg == 0))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x1, x2, x3 = X_ref[0], X_ref[1], X_ref[2]          # [8, TL]
+
+    def body(g, _):
+        c = cg * G + g
+        vmask = valid_ref[pl.ds(g, 1), :, :][0]
+        A, B, _exu, _exv = _cell_model(
+            kq_ref, camv_ref, c, x1, x2, x3, vmask, clamp
+        )
+        # J x per residual row: sum_i A[r][i] dc[i] + sum_k B[r][k] dp[k]
+        jx = []
+        for a_ in range(n):
+            rows = []
+            for r in range(2):
+                acc = A[r][0] * dc_ref[a_ * 6, c]
+                for i in range(1, 6):
+                    acc += A[r][i] * dc_ref[a_ * 6 + i, c]
+                for k in range(3):
+                    acc += B[r][k] * dp_ref[pl.ds(a_ * 3 + k, 1), :, :][0]
+                rows.append(acc)
+            jx.append(rows)
+        # upper-triangle Gram entries, per-lane partials
+        idx = 0
+        for a_ in range(n):
+            for b_ in range(a_, n):
+                acc_ref[idx] += (
+                    jx[a_][0] * jx[b_][0] + jx[a_][1] * jx[b_][1]
+                )
+                idx += 1
+        return 0
+
+    jax.lax.fori_loop(0, G, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("clamp",))
+def jgram_dense_pallas(K, q0, cams, pts, valid_d, dirs_c, dirs_p,
+                      clamp=False):
+    """Gram matrix of J-applications on the dense grid: G[a, b] =
+    <J x_a, J x_b> for direction vectors x = (dirs_c [n, C, 6] camera
+    parts, dirs_p [n, 3, Pp] planar point parts), J the coeff-free
+    reprojection jacobian at (cams, pts).
+
+    Each cell evaluates the analytic jacobian (shared _cell_model) and
+    accumulates the per-residual-row products — a SUM OF PRODUCTS OF
+    SMALL TERMS, the same conditioning as the reference's explicit J p
+    materialization (compute_Jmultiply + dot, trust_region.cpp:166-176).
+    The block form x^T [[U,W],[W^T,V]] x is algebraically equal but
+    catastrophically cancels in f32 when |J x| is small (the
+    Gauss-Newton step): measured on 7camsvarK-f32, the block form
+    parked TR at 1.05x the optimum that this form reaches.
+
+    Returns G [n, n] (symmetric, coeff-free: multiply by 2 for the TR
+    B = 2 J^T J scalars).
+    """
+    f32 = jnp.float32
+    n = dirs_c.shape[0]
+    C, P = valid_d.shape
+    step = 8 * TL
+    Pp = ((P + step - 1) // step) * step
+    n_pt = Pp // step
+    G = min(C, G_MAX)
+    n_cg = -(-C // G)
+    G = -(-C // n_cg)
+    Cp = n_cg * G
+
+    kq = jnp.concatenate([K, q0], axis=1).astype(f32).T
+    camv = cams.astype(f32).T
+    dc = dirs_c.astype(f32).transpose(0, 2, 1).reshape(6 * n, C)
+    if Cp != C:
+        kq = jnp.pad(kq, ((0, 0), (0, Cp - C)))
+        camv = jnp.pad(camv, ((0, 0), (0, Cp - C)))
+        dc = jnp.pad(dc, ((0, 0), (0, Cp - C)))
+    Xp = _pad_p(pts.astype(f32).T, Pp).reshape(3, 8, Pp // 8)
+    dp = _pad_p(
+        dirs_p.astype(f32).reshape(3 * n, -1), Pp
+    ).reshape(3 * n, 8, Pp // 8)
+    vd = _pad_p(valid_d.astype(f32), Pp)
+    if Cp != C:
+        vd = jnp.pad(vd, ((0, Cp - C), (0, 0)))
+    vd = vd.reshape(Cp, 8, Pp // 8)
+
+    npair = n * (n + 1) // 2
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    x_spec = pl.BlockSpec(
+        (3, 8, TL), lambda p, cg: (jnp.int32(0), jnp.int32(0), p),
+        memory_space=pltpu.VMEM,
+    )
+    dp_spec = pl.BlockSpec(
+        (3 * n, 8, TL), lambda p, cg: (jnp.int32(0), jnp.int32(0), p),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec(
+        (G, 8, TL), lambda p, cg: (cg, jnp.int32(0), p),
+        memory_space=pltpu.VMEM,
+    )
+    acc_spec = pl.BlockSpec(
+        (npair, 8, TL),
+        lambda p, cg: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+
+    acc = pl.pallas_call(
+        functools.partial(_jgram_kernel, G=G, n=n, clamp=clamp),
+        grid=(n_pt, n_cg),
+        in_specs=[smem, smem, smem, x_spec, dp_spec, row_spec],
+        out_specs=acc_spec,
+        out_shape=jax.ShapeDtypeStruct((npair, 8, TL), f32),
+        interpret=_interpret(),
+    )(kq, camv, dc, Xp, dp, vd)
+
+    tri = jnp.sum(acc, axis=(1, 2))                     # [npair]
+    Gm = jnp.zeros((n, n), f32)
+    iu, ju = np.triu_indices(n)
+    Gm = Gm.at[iu, ju].set(tri)
+    Gm = Gm.at[ju, iu].set(tri)
+    return Gm

@@ -38,7 +38,6 @@ from psba_tpu.core.linalg import spd_solve
 from psba_tpu.core.residual import error_l2, error_l2_diff, residuals
 from psba_tpu.core.schur import (
     back_substitute,
-    h_gram_dense3,
     back_substitute_dense,
     back_substitute_dense3,
     damp_v_planar,
@@ -60,7 +59,10 @@ from psba_tpu.ops.linearize_pallas import (
     linearize_pallas,
     residual_l2_pallas,
 )
-from psba_tpu.ops.residual_dense import gain_dense_pallas
+from psba_tpu.ops.residual_dense import (
+    gain_dense_pallas,
+    jgram_dense_pallas,
+)
 from psba_tpu.parallel.ctx import NO_MESH, MeshCtx
 from psba_tpu.solvers.lm import use_pallas
 from psba_tpu.solvers.types import OptState, ProblemArrays, SolverConfig
@@ -121,10 +123,7 @@ def _subspace_step(dot, pu_c, pu_p, pb_c, pb_p, g_c, g_p,
                    pUtBpU, pUtBpB, pBtBpB, delta):
     """compute_p_2 (trust_region.cpp:520-595): minimize the quadratic model
     over span{P_U, P_B}; fall back to scaled-P_U / P_B / classic dogleg when
-    the minimizer leaves the radius. Returns (p_cams, p_pts, p_norm,
-    alpha, beta) with p = alpha*P_U + beta*P_B — every branch lies in
-    span{P_U, P_B}, so the caller derives p^T B p from the precomputed
-    2x2 Gram instead of re-applying J (see core.schur.h_gram_dense3).
+    the minimizer leaves the radius. Returns (p_cams, p_pts, p_norm).
     `dot` is the mesh-aware split inner product."""
     pUg = dot(pu_c, pu_p, g_c, g_p)
     pBg = dot(pb_c, pb_p, g_c, g_p)
@@ -168,15 +167,7 @@ def _subspace_step(dot, pu_c, pu_p, pb_c, pb_p, g_c, g_p,
     out_norm = jnp.where(
         inside, p_norm, jnp.where(use_pb, pb_norm, delta)
     )
-    alpha = jnp.where(
-        inside, eta1,
-        jnp.where(use_pu, scale_pu, jnp.where(use_pb, 0.0, 2.0 - tau)),
-    )
-    beta = jnp.where(
-        inside, eta2,
-        jnp.where(use_pu, 0.0, jnp.where(use_pb, 1.0, tau - 1.0)),
-    )
-    return out_c, out_p, out_norm, alpha, beta
+    return out_c, out_p, out_norm
 
 
 def tr_run(
@@ -219,14 +210,24 @@ def tr_run(
     def outer_body(s: _Outer):
         # B-blocks carry coeff 2, g = -(2 J^T ex) (trust_region.cpp:122-137)
         if dense3:
-            # ONE dense-grid kernel births everything (ZW/V/gb planar +
-            # U/ga in-kernel partials); the obs-stream kernel and the
-            # jacobian stream are gone from this path — all J-dependent
-            # curvature scalars come from h_gram_dense3 on the planar
-            # blocks instead of compute_Jmultiply
-            ZW0, ZW1, ZW2, Vp1, gbp1, _Pp, U1, ga1 = linearize_dense_pallas(
+            # U/ga from the obs-stream kernel (one-hot MXU reduction):
+            # TR consumes g directly as the Cauchy direction and in the
+            # model prediction, and measured on 7camsvarK-f32 the dense
+            # lane-partial ga rounding parks TR ~6% above the optimum
+            # the obs-stream reduction reaches (LM, whose ga only feeds
+            # the solve RHS and the gain denominator, keeps the fused
+            # dense U/ga — see solvers/lm.py). No jacobian stream: the
+            # curvature scalars come from the dense J-gram kernel
+            # (ops.residual_dense.jgram_dense_pallas), trial gains from
+            # the dense gain kernel.
+            _ex_k, _l2, U1, _, _, ga1, _, _, _ = linearize_pallas(
+                pa.K, pa.q0, s.cams, s.pts, pa.obs, pa.cam_idx, pa.pt_idx,
+                pa.valid, C, P, clamp=cfg.clamp_quat,
+                want_point=False, want_w=False,
+            )
+            ZW0, ZW1, ZW2, Vp1, gbp1, _Pp = linearize_dense_pallas(
                 pa.K, pa.q0, s.cams, s.pts, pa.obs_du, pa.obs_dv,
-                pa.valid_d, clamp=cfg.clamp_quat, want_u=True,
+                pa.valid_d, clamp=cfg.clamp_quat,
             )
             # every Schur-system block carries the TR coeff 2 (B = 2 J^T J,
             # trust_region.cpp:122-137): U, V, W, and g alike — the kernel
@@ -273,10 +274,14 @@ def tr_run(
         gm = jnp.where(gm > 0.0, gm, 1.0)
         gh_c, gh_p = g_c / gm, g_p / gm
         if dense3:
-            # g^T B g via the planar blocks (B-scaled U/ZW3/Vp above)
-            gtBg_n = h_gram_dense3(
-                U, ZW3, Vp, gh_c[None], (g_pp3 / gm)[None], psum=ctx.psum
-            )[0, 0]
+            # g^T B g = 2 |J gh|^2 via the dense J-gram kernel — same
+            # sum-of-squares conditioning as the reference's explicit
+            # J g materialization (see ops.residual_dense)
+            gtBg_n = 2.0 * ctx.psum(jgram_dense_pallas(
+                pa.K, pa.q0, s.cams, s.pts, pa.valid_d,
+                gh_c[None], (g_pp3 / gm)[None],
+                clamp=cfg.clamp_quat,
+            )[0, 0])
         else:
             Jg = jmultiply(A, B, gh_c, gh_p, pa.cam_idx, pa.pt_idx)
             gtBg_n = 2.0 * ctx.psum(jnp.sum(Jg * Jg))  # = g^T B g / gm^2
@@ -371,12 +376,12 @@ def tr_run(
             pu_pp3 = scal * g_pp3
             Pp = g_pp3.shape[1]         # static planar width
             pb_pp3 = jnp.pad(pb_p.T, ((0, 0), (0, Pp - P)))
-            Gm = h_gram_dense3(
-                U, ZW3, Vp,
+            Gm = 2.0 * ctx.psum(jgram_dense_pallas(
+                pa.K, pa.q0, s.cams, s.pts, pa.valid_d,
                 jnp.stack([pu_c, pb_c], axis=0),
                 jnp.stack([pu_pp3, pb_pp3], axis=0),
-                psum=ctx.psum,
-            )
+                clamp=cfg.clamp_quat,
+            ))
             pUtBpU, pUtBpB, pBtBpB = Gm[0, 0], Gm[0, 1], Gm[1, 1]
         else:
             Jpu = jmultiply(A, B, pu_c, pu_p, pa.cam_idx, pa.pt_idx)
@@ -392,7 +397,7 @@ def tr_run(
             return (m.flag == CC.ITER_CONTINUE) & (m.tries < 200)
 
         def model_body(m: _ModelCarry):
-            p_c, p_p, p_norm, p_alpha, p_beta = _subspace_step(
+            p_c, p_p, p_norm = _subspace_step(
                 _dot, pu_c, pu_p, pb_c, pb_p, g_c, g_p,
                 pUtBpU, pUtBpB, pBtBpB, m.dk,
             )
@@ -427,16 +432,22 @@ def tr_run(
                 )
             tiny = jnp.abs(gain / m.ex_l2) < cfg.eps2
 
-            # p = alpha*P_U + beta*P_B (every _subspace_step branch), so
-            # p^T B p expands over the precomputed 2x2 Gram — the
-            # reference's per-try J p materialization
-            # (trust_region.cpp:204-212 via compute_Jmultiply) is
-            # algebraically redundant
-            ptBp = (
-                p_alpha * p_alpha * pUtBpU
-                + 2.0 * p_alpha * p_beta * pUtBpB
-                + p_beta * p_beta * pBtBpB
-            )
+            # p^T B p must be an explicit |J p|^2 (sum of squares, as the
+            # reference materializes it, trust_region.cpp:204-212): the
+            # algebraically-equal expansion over the 2x2 {P_U,P_B} Gram
+            # cancels catastrophically in f32 when p nearly minimizes the
+            # model — measured on 7camsvarK-f32 it mis-predicts rho near
+            # convergence and parks TR ~6% above the optimum
+            if dense3:
+                Pp_ = g_pp3.shape[1]
+                p_pp3 = jnp.pad(p_p.T, ((0, 0), (0, Pp_ - P)))
+                ptBp = 2.0 * ctx.psum(jgram_dense_pallas(
+                    pa.K, pa.q0, m.cams, m.pts, pa.valid_d,
+                    p_c[None], p_pp3[None], clamp=cfg.clamp_quat,
+                )[0, 0])
+            else:
+                Jp = jmultiply(A, B, p_c, p_p, pa.cam_idx, pa.pt_idx)
+                ptBp = 2.0 * ctx.psum(jnp.sum(Jp * Jp))
             pred = m.ex_l2 + _dot(g_c, g_p, p_c, p_p) + 0.5 * ptBp
             rho = gain / (m.ex_l2 - pred)
 

@@ -265,6 +265,42 @@ def test_gain_dense_matches_xla(prob_synth):
     np.testing.assert_allclose(float(new_l2), l2_x, rtol=1e-5)
 
 
+def test_jgram_dense_matches_jmultiply(prob_synth):
+    """Dense J-gram kernel: G[a,b] = <J x_a, J x_b> must match explicit
+    jmultiply materialization on the observation stream."""
+    from psba_tpu.core.jacobian import jmultiply
+    from psba_tpu.ops.residual_dense import jgram_dense_pallas
+    from psba_tpu.solvers.types import ProblemArrays
+
+    p = prob_synth.with_blk()
+    f32 = jnp.float32
+    pa = ProblemArrays.from_problem(p, dtype=f32, schur="dense")
+    rng = np.random.default_rng(11)
+    cams = jnp.asarray(p.cams, f32)
+    pts = jnp.asarray(p.pts, f32)
+    C, P = p.n_cams, p.n_pts
+
+    dirs_c = jnp.asarray(rng.standard_normal((2, C, 6)), f32)
+    dp_raw = rng.standard_normal((2, P, 3))
+    # planar [n, 3, P] point parts
+    dirs_p = jnp.asarray(np.transpose(dp_raw, (0, 2, 1)), f32)
+
+    Gm = jgram_dense_pallas(
+        pa.K, pa.q0, cams, pts, pa.valid_d, dirs_c, dirs_p
+    )
+
+    A, B = jacobians(pa.K, pa.q0, cams, pts, pa.cam_idx, pa.pt_idx)
+    jx = [
+        jmultiply(A, B, dirs_c[a], jnp.asarray(dp_raw[a], f32),
+                  pa.cam_idx, pa.pt_idx)
+        for a in range(2)
+    ]
+    ref = np.array([
+        [float(jnp.sum(jx[a] * jx[b])) for b in range(2)] for a in range(2)
+    ])
+    np.testing.assert_allclose(np.asarray(Gm), ref, rtol=1e-4)
+
+
 def test_dense_padded_lanes_identity(prob_synth):
     """Padded planar V lanes are seeded with identity so inv3x3_planar3's
     ok flag (and its lax.cond fallback gate) ignore them: at mu=0 the

@@ -57,7 +57,7 @@ def _run_case(pu, pb, g, B, delta, expect_branch):
     Buu, Bub, Bbb = pu @ B @ pu, pu @ B @ pb, pb @ B @ pb
     ref_p, ref_norm, branch = _model_step(pu, pb, g, Buu, Bub, Bbb, delta)
     assert branch == expect_branch, f"case engineering broke: hit {branch}"
-    out_c, out_p, out_norm, _a, _b = _subspace_step(
+    out_c, out_p, out_norm = _subspace_step(
         _dot, *_split(pu), *_split(pb), *_split(g),
         jnp.float64(Buu), jnp.float64(Bub), jnp.float64(Bbb),
         jnp.float64(delta),
@@ -145,7 +145,7 @@ def test_dogleg_branch_sweep():
             pu, pb, g, Buu, Bub, Bbb, delta
         )
         hits.add(branch)
-        out_c, out_p, out_norm, _a, _b = _subspace_step(
+        out_c, out_p, out_norm = _subspace_step(
             _dot, *_split(pu), *_split(pb), *_split(g),
             jnp.float64(Buu), jnp.float64(Bub), jnp.float64(Bbb),
             jnp.float64(delta),
