@@ -51,6 +51,12 @@ def build_parser():
                    help="LM damping model: additive mu*I (reference "
                         "semantics) or scale-invariant multiplicative "
                         "mu*diag(H) for mixed-scale BAL cameras")
+    p.add_argument("--s-precision", choices=["highest", "high"],
+                   default="highest",
+                   help="MXU precision of the dense3 Schur matmuls: "
+                        "highest = 6-pass bf16 (f32 fidelity, parity "
+                        "default); high = 3-pass (~2x faster S assembly "
+                        "at BAL camera counts, ~2^-21 product error)")
     p.add_argument("--mesh", type=int, default=1,
                    help="shard over N devices (observation axis)")
     p.add_argument("--out-cams", help="write optimized cameras (varK format)")
@@ -109,6 +115,7 @@ def main(argv=None):
             else 5
         ),
         damping=args.damping,
+        s_precision=args.s_precision,
         record_history=args.verbose,
     )
     dtype = jnp.float32 if args.f32 else None

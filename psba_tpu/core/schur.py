@@ -326,7 +326,7 @@ def max_diag_planar(U, Vp, n_pts):
     return jnp.maximum(du, dv)
 
 
-def schur_S_dense3(U, ZW3, Vinv, psum=None):
+def schur_S_dense3(U, ZW3, Vinv, psum=None, prec=None):
     """schur_S_dense on the 3-part planar factor from
     ops.linearize_dense_pallas: ZW3 = (ZW0, ZW1, ZW2), each [6C, Pp],
     ZWk[6c+i, p] = W_(c,p)[i, k]. ZY_j = sum_m ZW_m * Vinv[m, j] is nine
@@ -334,6 +334,7 @@ def schur_S_dense3(U, ZW3, Vinv, psum=None):
     matmuls (same FLOPs as the single [6C, 3P] contraction, no 17 MB
     concat). Returns (S [6C, 6C], ZY3) with ZY3 reused downstream."""
     C = U.shape[0]
+    prec = _PREC if prec is None else prec
     ZY3 = tuple(
         ZW3[0] * Vinv[0, j][None]
         + ZW3[1] * Vinv[1, j][None]
@@ -341,7 +342,7 @@ def schur_S_dense3(U, ZW3, Vinv, psum=None):
         for j in range(3)
     )
     off = sum(
-        jnp.matmul(ZY3[j], ZW3[j].T, precision=_PREC) for j in range(3)
+        jnp.matmul(ZY3[j], ZW3[j].T, precision=prec) for j in range(3)
     ).reshape(C, 6, C, 6)
     if psum is not None:
         off = psum(off)
@@ -350,23 +351,25 @@ def schur_S_dense3(U, ZW3, Vinv, psum=None):
     return S.reshape(6 * C, 6 * C), ZY3
 
 
-def reduced_rhs_dense3(ga, gbp, ZY3, psum=None):
+def reduced_rhs_dense3(ga, gbp, ZY3, psum=None, prec=None):
     """ea = ga - ZY @ gb on the 3-part planar layout (kern_compute_ea);
     gbp is [3, Pp]."""
+    prec = _PREC if prec is None else prec
     term = sum(
-        jnp.matmul(ZY3[j], gbp[j], precision=_PREC) for j in range(3)
+        jnp.matmul(ZY3[j], gbp[j], precision=prec) for j in range(3)
     )
     if psum is not None:
         term = psum(term)
     return ga - term.reshape(-1, 6)
 
 
-def back_substitute_dense3(gbp, ZW3, Vinv, dpa):
+def back_substitute_dense3(gbp, ZW3, Vinv, dpa, prec=None):
     """eb_j = gb_j - ZW_j^T dpa; dpb_k = sum_j Vinv[j, k] eb_j
     (kern_compute_eb + kern_compute_dpb, planar). Returns dpb [3, Pp]."""
+    prec = _PREC if prec is None else prec
     v = dpa.reshape(-1)
     eb = tuple(
-        gbp[j] - jnp.matmul(v, ZW3[j], precision=_PREC) for j in range(3)
+        gbp[j] - jnp.matmul(v, ZW3[j], precision=prec) for j in range(3)
     )
     return jnp.stack(
         [

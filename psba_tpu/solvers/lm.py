@@ -169,6 +169,10 @@ def lm_run(
     # [P, 3, 3] relayouts anywhere in the damping-retry loop
     dense3 = dense and pallas and pa.obs_du is not None
     marq = cfg.damping == "marquardt"
+    s_prec = (
+        jax.lax.Precision.HIGH if cfg.s_precision == "high"
+        else jax.lax.Precision.HIGHEST
+    )
     # collective for the O(C^2) S assembly (cfg.s_reduce)
     s_psum = ctx.psum_rs if cfg.s_reduce == "scatter" else ctx.psum
 
@@ -240,8 +244,12 @@ def lm_run(
                     U_d = U + t.mu * jnp.eye(6, dtype=dtype)
                     Vp_d = damp_v_planar(Vp, t.mu)
                 Vinv3, vok = inv3x3_planar3(Vp_d)
-                S, ZY3 = schur_S_dense3(U_d, ZW3, Vinv3, psum=s_psum)
-                ea = reduced_rhs_dense3(ga, gbp3, ZY3, psum=ctx.psum)
+                S, ZY3 = schur_S_dense3(
+                    U_d, ZW3, Vinv3, psum=s_psum, prec=s_prec
+                )
+                ea = reduced_rhs_dense3(
+                    ga, gbp3, ZY3, psum=ctx.psum, prec=s_prec
+                )
             elif dense:
                 _damp = damp_uv_marquardt if marq else damp_uv
                 U_d, V_d = _damp(U, V, t.mu)
@@ -266,7 +274,9 @@ def lm_run(
             ok = ok & ctx.pand(vok)
             dpa = dpa_flat.reshape(C, 6)
             if dense3:
-                dpb3 = back_substitute_dense3(gbp3, ZW3, Vinv3, dpa)
+                dpb3 = back_substitute_dense3(
+                    gbp3, ZW3, Vinv3, dpa, prec=s_prec
+                )
                 dpb = dpb3[:, :t.pts.shape[0]].T
             elif dense:
                 _ebp, dpb = back_substitute_dense(gbp, ZW, Vpl, dpa)

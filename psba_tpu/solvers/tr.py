@@ -206,6 +206,10 @@ def tr_run(
     dense3 = dense and pallas and pa.obs_du is not None
     # collective for the O(C^2) S assembly (cfg.s_reduce)
     s_psum = ctx.psum_rs if cfg.s_reduce == "scatter" else ctx.psum
+    s_prec = (
+        jax.lax.Precision.HIGH if cfg.s_precision == "high"
+        else jax.lax.Precision.HIGHEST
+    )
 
     def outer_body(s: _Outer):
         # B-blocks carry coeff 2, g = -(2 J^T ex) (trust_region.cpp:122-137)
@@ -298,8 +302,12 @@ def tr_run(
                 U_d = U + t.lam * jnp.eye(6, dtype=dtype)
                 Vp_d = damp_v_planar(Vp, t.lam)
                 Vinv3, vok = inv3x3_planar3(Vp_d)
-                S, ZY3 = schur_S_dense3(U_d, ZW3, Vinv3, psum=s_psum)
-                ea = reduced_rhs_dense3(g_c, g_pp3, ZY3, psum=ctx.psum)
+                S, ZY3 = schur_S_dense3(
+                    U_d, ZW3, Vinv3, psum=s_psum, prec=s_prec
+                )
+                ea = reduced_rhs_dense3(
+                    g_c, g_pp3, ZY3, psum=ctx.psum, prec=s_prec
+                )
             elif dense:
                 U_d, V_d = damp_uv(U, V, t.lam)
                 Vpl, vok = inv3x3_planar(V_d)
@@ -323,7 +331,7 @@ def tr_run(
             dpa = dpa_flat.reshape(C, 6)
             if dense3:
                 dpb = back_substitute_dense3(
-                    g_pp3, ZW3, Vinv3, dpa
+                    g_pp3, ZW3, Vinv3, dpa, prec=s_prec
                 )[:, :P].T
             elif dense:
                 _ebp, dpb = back_substitute_dense(g_pp, ZW, Vpl, dpa)

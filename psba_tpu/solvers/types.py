@@ -36,6 +36,15 @@ class SolverConfig(NamedTuple):
     # (device-side ring of the reference's progress lines: itno/err/rho/mu
     # for LM (levmar.cpp:197), itno/err/delta/rho/|p|/lambda for TR
     # (trust_region.cpp:250)); returned via OptState.history
+    s_precision: str = "highest"           # "highest" | "high": MXU
+    # precision of the dense3 Schur-system matmuls (S assembly, reduced
+    # rhs, back-substitution). "highest" = 6-pass bf16 (= f32 fidelity,
+    # the parity choice — the reference's OpenCL kernels multiply in
+    # native f32, compute_S.cl:40-56). "high" = 3-pass bf16 (~2^-21 rel
+    # error on the products): halves the dominant O(C^2 P) matmul cost
+    # at BAL camera counts (measured ~16% off a rome93-class iteration)
+    # at a precision still far above the damping-retry noise floor; the
+    # f64 polish phase recovers full precision regardless.
     damping: str = "additive"              # "additive" | "marquardt": LM
     # damping model. "additive" is the reference's mu*I (update_UV.cl,
     # levmar.cpp:126) seeded at tau*max(diag) (levmar.cpp:113-120).

@@ -115,6 +115,13 @@ def test_solver_pallas_backend_cpu(prob_synth):
     res_p = solve(prob_synth, SolverConfig.for_dtype(
         jnp.float32, backend="pallas"), dtype=jnp.float32)
     assert res_p.final_l2 < 1.05 * res_x.final_l2
+    # the s_precision="high" knob (3-pass Schur matmuls) must still
+    # converge to the same neighborhood (on CPU Precision is a no-op for
+    # f32, so this mainly guards the trace-time plumbing)
+    res_h = solve(prob_synth, SolverConfig.for_dtype(
+        jnp.float32, backend="pallas", s_precision="high"),
+        dtype=jnp.float32)
+    assert res_h.final_l2 < 1.05 * res_x.final_l2
 
 
 def test_linearize_dense_matches_xla(prob_synth):
