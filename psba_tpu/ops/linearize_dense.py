@@ -149,18 +149,33 @@ def _cell_model(kq_ref, camv_ref, c, x1, x2, x3, vmask, clamp,
     return A, B, exu, exv
 
 
-def _dense_kernel(kq_ref, camv_ref, X_ref, obsu_ref, obsv_ref, valid_ref,
-                  zw0_ref, zw1_ref, zw2_ref, vpack_ref, *opt_refs,
-                  G, clamp):
+def _dense_kernel(*refs, G, clamp, has_mask, want_u):
+    it = iter(refs)
+    kq_ref, camv_ref = next(it), next(it)
+    mask_ref = next(it) if has_mask else None
+    X_ref, obsu_ref, obsv_ref, valid_ref = (
+        next(it), next(it), next(it), next(it)
+    )
+    zw0_ref, zw1_ref, zw2_ref, vpack_ref = (
+        next(it), next(it), next(it), next(it)
+    )
+    upack_ref = next(it) if want_u else None
+
     # grid = (n_cg, n_pt), point axis fastest: the per-chunk U/ga
     # accumulator block (const-indexed in p) is revisited consecutively
-    upack_ref = opt_refs[0] if opt_refs else None
     cg = pl.program_id(0)
     p_id = pl.program_id(1)
 
     # each (cg, p) step owns a fresh V-pack partial block (summed over
     # chunks outside the kernel); zero it before the camera loop
     vpack_ref[...] = jnp.zeros_like(vpack_ref)
+    if mask_ref is not None:
+        # skipped (camera, tile) pairs write nothing: pre-zero their ZW
+        # rows (their true contribution is exactly zero — the skip
+        # predicate is "no observed cell in this tile")
+        zw0_ref[...] = jnp.zeros_like(zw0_ref)
+        zw1_ref[...] = jnp.zeros_like(zw1_ref)
+        zw2_ref[...] = jnp.zeros_like(zw2_ref)
     if upack_ref is not None:
         # U/ga accumulate across the point grid for this camera chunk
         @pl.when(p_id == 0)
@@ -171,45 +186,55 @@ def _dense_kernel(kq_ref, camv_ref, X_ref, obsu_ref, obsv_ref, valid_ref,
 
     def body(g, _):
         c = cg * G + g
-        # padded cameras (c >= C) are all-zero -> s = 1, vmask = 0, so
-        # every contribution they make is masked to exactly zero
-        vmask = valid_ref[pl.ds(g, 1), :, :][0]        # [8, TL] f32
-        A, B, exu, exv = _cell_model(
-            kq_ref, camv_ref, c, x1, x2, x3, vmask, clamp,
-            obsu=obsu_ref[pl.ds(g, 1), :, :][0],
-            obsv=obsv_ref[pl.ds(g, 1), :, :][0],
-        )
 
-        # ZW_k rows: W[i, k] = sum_r A[r][i] B[r][k]
-        for k, zw_ref in enumerate((zw0_ref, zw1_ref, zw2_ref)):
-            rows = jnp.stack(
-                [A[0][i] * B[0][k] + A[1][i] * B[1][k] for i in range(6)],
-                axis=0,
+        def compute():
+            # padded cameras (c >= C) are all-zero -> s = 1, vmask = 0,
+            # so every contribution they make is masked to exactly zero
+            vmask = valid_ref[pl.ds(g, 1), :, :][0]    # [8, TL] f32
+            A, B, exu, exv = _cell_model(
+                kq_ref, camv_ref, c, x1, x2, x3, vmask, clamp,
+                obsu=obsu_ref[pl.ds(g, 1), :, :][0],
+                obsv=obsv_ref[pl.ds(g, 1), :, :][0],
             )
-            zw_ref[pl.ds(g * 6, 6), :, :] = rows
 
-        for i in range(3):
-            for j in range(3):
-                vpack_ref[i * 3 + j] += (
-                    B[0][i] * B[0][j] + B[1][i] * B[1][j]
+            # ZW_k rows: W[i, k] = sum_r A[r][i] B[r][k]
+            for k, zw_ref in enumerate((zw0_ref, zw1_ref, zw2_ref)):
+                rows = jnp.stack(
+                    [A[0][i] * B[0][k] + A[1][i] * B[1][k]
+                     for i in range(6)],
+                    axis=0,
                 )
-        for i in range(3):
-            vpack_ref[9 + i] += B[0][i] * exu + B[1][i] * exv
+                zw_ref[pl.ds(g * 6, 6), :, :] = rows
 
-        if upack_ref is not None:
-            # camera-side normal equations as per-lane partials: 21
-            # upper-triangle U entries (A^T A) + 6 gradient entries
-            # (A^T ex) per camera, one [27, 8, TL] read-modify-write
-            rows = []
-            for i in range(6):
-                for j in range(i, 6):
-                    rows.append(A[0][i] * A[0][j] + A[1][i] * A[1][j])
-            for i in range(6):
-                rows.append(A[0][i] * exu + A[1][i] * exv)
-            new27 = jnp.stack(rows, axis=0)
-            base = g * 27
-            cur = upack_ref[pl.ds(base, 27), :, :]
-            upack_ref[pl.ds(base, 27), :, :] = cur + new27
+            for i in range(3):
+                for j in range(3):
+                    vpack_ref[i * 3 + j] += (
+                        B[0][i] * B[0][j] + B[1][i] * B[1][j]
+                    )
+            for i in range(3):
+                vpack_ref[9 + i] += B[0][i] * exu + B[1][i] * exv
+
+            if upack_ref is not None:
+                # camera-side normal equations as per-lane partials: 21
+                # upper-triangle U entries (A^T A) + 6 gradient entries
+                # (A^T ex) per camera, one [27, 8, TL] read-modify-write
+                rows = []
+                for i in range(6):
+                    for j in range(i, 6):
+                        rows.append(
+                            A[0][i] * A[0][j] + A[1][i] * A[1][j]
+                        )
+                for i in range(6):
+                    rows.append(A[0][i] * exu + A[1][i] * exv)
+                new27 = jnp.stack(rows, axis=0)
+                base = g * 27
+                cur = upack_ref[pl.ds(base, 27), :, :]
+                upack_ref[pl.ds(base, 27), :, :] = cur + new27
+
+        if mask_ref is None:
+            compute()
+        else:
+            pl.when(mask_ref[c, p_id] > 0)(compute)
         return 0
 
     jax.lax.fori_loop(0, G, body, 0)
@@ -240,9 +265,54 @@ def _pad_p(arr, Pp):
     return jnp.pad(arr, pad)
 
 
+def build_tile_mask(valid_d):
+    """Host-side (camera x grid-tile) occupancy table for the dense
+    kernels' per-(camera, tile) skip: mask[c, t] = 1 iff camera c
+    observes at least one point whose PLANAR position falls in grid step
+    t's [8, TL] window (the 8 strided lane ranges s*L8 + [t*TL, (t+1)*TL)
+    of the [rows, 8, Pp/8] packing). Skipping masked-empty pairs is
+    exact — their contribution is identically zero — and pays off when
+    the point order clusters covisible points into few tiles
+    (BAProblem.with_tile_point_order)."""
+    import numpy as np_
+
+    vd = np_.asarray(valid_d)
+    C, P = vd.shape
+    step = 8 * TL
+    Pp = ((P + step - 1) // step) * step
+    n_pt = Pp // step
+    if Pp != P:
+        vd = np_.concatenate(
+            [vd, np_.zeros((C, Pp - P), vd.dtype)], axis=1
+        )
+    # [C, 8, L8] -> [C, 8, n_pt, TL]: tile t = lane window t*TL..(t+1)*TL
+    occ = vd.reshape(C, 8, n_pt, TL).max(axis=(1, 3))
+    return (occ > 0).astype(np_.int32)
+
+
+def tile_slot_order(P):
+    """Planar positions in the dense kernels' tile-visit order: grid
+    step t covers planar slots {s*L8 + t*TL + l}; assigning sorted
+    (clustered) points to these slots in order concentrates each
+    camera's observations into few grid tiles. Returns an int array of
+    the P valid planar slots in visit order (slots >= P — the zero
+    padding tail — are skipped)."""
+    import numpy as np_
+
+    step = 8 * TL
+    Pp = ((P + step - 1) // step) * step
+    L8 = Pp // 8
+    n_pt = Pp // step
+    t = np_.repeat(np_.arange(n_pt), step)
+    s = np_.tile(np_.repeat(np_.arange(8), TL), n_pt)
+    l = np_.tile(np_.arange(TL), 8 * n_pt)
+    slots = s * L8 + t * TL + l
+    return slots[slots < P]
+
+
 @functools.partial(jax.jit, static_argnames=("clamp", "want_u"))
 def linearize_dense_pallas(K, q0, cams, pts, obs_du, obs_dv, valid_d,
-                           clamp=False, want_u=False):
+                           clamp=False, want_u=False, tile_mask=None):
     """Planar dense-grid linearization.
 
     Returns (ZW0, ZW1, ZW2, Vp, gbp, Pp):
@@ -295,6 +365,12 @@ def linearize_dense_pallas(K, q0, cams, pts, obs_du, obs_dv, valid_d,
     ou = _pad_rows(obs_du)
     ov = _pad_rows(obs_dv)
     vd = _pad_rows(valid_d)
+    has_mask = tile_mask is not None
+    if has_mask:
+        # [C, n_pt] -> [Cp, n_pt]; padded camera slots are 0 (skipped)
+        mask = tile_mask.astype(jnp.int32)
+        if Cp != C:
+            mask = jnp.pad(mask, ((0, Cp - C), (0, 0)))
 
     # index maps must return i32 scalars (see ops.linearize_pallas) and
     # must not capture traced constants. Grid = (n_cg, n_pt), point axis
@@ -334,14 +410,25 @@ def linearize_dense_pallas(K, q0, cams, pts, obs_du, obs_dv, valid_d,
         ))
         out_shape.append(jax.ShapeDtypeStruct((27 * Cp, 8, TL), f32))
 
+    in_specs = [smem, smem]
+    inputs = [kq, camv]
+    if has_mask:
+        in_specs.append(smem)
+        inputs.append(mask)
+    in_specs += [x_spec, row_spec, row_spec, row_spec]
+    inputs += [Xp, ou, ov, vd]
+
     outs = pl.pallas_call(
-        functools.partial(_dense_kernel, G=G, clamp=clamp),
+        functools.partial(
+            _dense_kernel, G=G, clamp=clamp,
+            has_mask=has_mask, want_u=want_u,
+        ),
         grid=(n_cg, n_pt),
-        in_specs=[smem, smem, x_spec, row_spec, row_spec, row_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(kq, camv, Xp, ou, ov, vd)
+    )(*inputs)
     zw0, zw1, zw2, vpack = outs[:4]
 
     ZW0 = zw0.reshape(6 * Cp, Pp)[:6 * C]

@@ -79,8 +79,14 @@ def _cell_residual(kq_ref, camv_ref, c, x1, x2, x3, obsu, obsv, vmask,
     return (obsu - pu) * vmask, (obsv - pv) * vmask
 
 
-def _gain_kernel(kq_ref, co_ref, cn_ref, Xo_ref, Xn_ref,
-                 obsu_ref, obsv_ref, valid_ref, acc_ref, *, G, clamp):
+def _gain_kernel(*refs, G, clamp, has_mask):
+    it = iter(refs)
+    kq_ref, co_ref, cn_ref = next(it), next(it), next(it)
+    mask_ref = next(it) if has_mask else None
+    Xo_ref, Xn_ref = next(it), next(it)
+    obsu_ref, obsv_ref, valid_ref, acc_ref = (
+        next(it), next(it), next(it), next(it)
+    )
     p_id = pl.program_id(0)
     cg = pl.program_id(1)
 
@@ -95,19 +101,28 @@ def _gain_kernel(kq_ref, co_ref, cn_ref, Xo_ref, Xn_ref,
 
     def body(g, _):
         c = cg * G + g
-        vmask = valid_ref[pl.ds(g, 1), :, :][0]
-        obsu = obsu_ref[pl.ds(g, 1), :, :][0]
-        obsv = obsv_ref[pl.ds(g, 1), :, :][0]
-        eou, eov = _cell_residual(
-            kq_ref, co_ref, c, xo1, xo2, xo3, obsu, obsv, vmask, clamp
-        )
-        enu, env = _cell_residual(
-            kq_ref, cn_ref, c, xn1, xn2, xn3, obsu, obsv, vmask, clamp
-        )
-        # factored difference: exact in infinite precision, conditioned
-        # for f32 near convergence (see core.residual.error_l2_diff)
-        acc_ref[0] += (eou - enu) * (eou + enu) + (eov - env) * (eov + env)
-        acc_ref[1] += enu * enu + env * env
+
+        def compute():
+            vmask = valid_ref[pl.ds(g, 1), :, :][0]
+            obsu = obsu_ref[pl.ds(g, 1), :, :][0]
+            obsv = obsv_ref[pl.ds(g, 1), :, :][0]
+            eou, eov = _cell_residual(
+                kq_ref, co_ref, c, xo1, xo2, xo3, obsu, obsv, vmask, clamp
+            )
+            enu, env = _cell_residual(
+                kq_ref, cn_ref, c, xn1, xn2, xn3, obsu, obsv, vmask, clamp
+            )
+            # factored difference: exact in infinite precision,
+            # conditioned for f32 near convergence (error_l2_diff)
+            acc_ref[0] += (
+                (eou - enu) * (eou + enu) + (eov - env) * (eov + env)
+            )
+            acc_ref[1] += enu * enu + env * env
+
+        if mask_ref is None:
+            compute()
+        else:
+            pl.when(mask_ref[c, p_id] > 0)(compute)
         return 0
 
     jax.lax.fori_loop(0, G, body, 0)
@@ -115,7 +130,8 @@ def _gain_kernel(kq_ref, co_ref, cn_ref, Xo_ref, Xn_ref,
 
 @functools.partial(jax.jit, static_argnames=("clamp",))
 def gain_dense_pallas(K, q0, cams, pts, new_cams, new_pts,
-                      obs_du, obs_dv, valid_d, clamp=False):
+                      obs_du, obs_dv, valid_d, clamp=False,
+                      tile_mask=None):
     """Trial-step acceptance scalars on the dense (cam x point) grid.
 
     Returns (gain, new_l2):
@@ -152,6 +168,11 @@ def gain_dense_pallas(K, q0, cams, pts, new_cams, new_pts,
     ou = _pad_rows(obs_du)
     ov = _pad_rows(obs_dv)
     vd = _pad_rows(valid_d)
+    has_mask = tile_mask is not None
+    if has_mask:
+        mask = tile_mask.astype(jnp.int32)
+        if Cp != C:
+            mask = jnp.pad(mask, ((0, Cp - C), (0, 0)))
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     x_spec = pl.BlockSpec(
@@ -168,21 +189,34 @@ def gain_dense_pallas(K, q0, cams, pts, new_cams, new_pts,
         memory_space=pltpu.VMEM,
     )
 
+    in_specs = [smem, smem, smem]
+    inputs = [kq, co, cn]
+    if has_mask:
+        in_specs.append(smem)
+        inputs.append(mask)
+    in_specs += [x_spec, x_spec, row_spec, row_spec, row_spec]
+    inputs += [Xo, Xn, ou, ov, vd]
     acc = pl.pallas_call(
-        functools.partial(_gain_kernel, G=G, clamp=clamp),
+        functools.partial(
+            _gain_kernel, G=G, clamp=clamp, has_mask=has_mask
+        ),
         grid=(n_pt, n_cg),
-        in_specs=[smem, smem, smem, x_spec, x_spec,
-                  row_spec, row_spec, row_spec],
+        in_specs=in_specs,
         out_specs=acc_spec,
         out_shape=jax.ShapeDtypeStruct((2, 8, TL), f32),
         interpret=_interpret(),
-    )(kq, co, cn, Xo, Xn, ou, ov, vd)
+    )(*inputs)
 
     return jnp.sum(acc[0]), jnp.sum(acc[1])
 
 
-def _jgram_kernel(kq_ref, camv_ref, dc_ref, X_ref, dp_ref, valid_ref,
-                  acc_ref, *, G, n, clamp):
+def _jgram_kernel(*refs, G, n, clamp, has_mask):
+    it = iter(refs)
+    kq_ref, camv_ref, dc_ref = next(it), next(it), next(it)
+    mask_ref = next(it) if has_mask else None
+    X_ref, dp_ref, valid_ref, acc_ref = (
+        next(it), next(it), next(it), next(it)
+    )
     p_id = pl.program_id(0)
     cg = pl.program_id(1)
 
@@ -194,30 +228,39 @@ def _jgram_kernel(kq_ref, camv_ref, dc_ref, X_ref, dp_ref, valid_ref,
 
     def body(g, _):
         c = cg * G + g
-        vmask = valid_ref[pl.ds(g, 1), :, :][0]
-        A, B, _exu, _exv = _cell_model(
-            kq_ref, camv_ref, c, x1, x2, x3, vmask, clamp
-        )
-        # J x per residual row: sum_i A[r][i] dc[i] + sum_k B[r][k] dp[k]
-        jx = []
-        for a_ in range(n):
-            rows = []
-            for r in range(2):
-                acc = A[r][0] * dc_ref[a_ * 6, c]
-                for i in range(1, 6):
-                    acc += A[r][i] * dc_ref[a_ * 6 + i, c]
-                for k in range(3):
-                    acc += B[r][k] * dp_ref[pl.ds(a_ * 3 + k, 1), :, :][0]
-                rows.append(acc)
-            jx.append(rows)
-        # upper-triangle Gram entries, per-lane partials
-        idx = 0
-        for a_ in range(n):
-            for b_ in range(a_, n):
-                acc_ref[idx] += (
-                    jx[a_][0] * jx[b_][0] + jx[a_][1] * jx[b_][1]
-                )
-                idx += 1
+
+        def compute():
+            vmask = valid_ref[pl.ds(g, 1), :, :][0]
+            A, B, _exu, _exv = _cell_model(
+                kq_ref, camv_ref, c, x1, x2, x3, vmask, clamp
+            )
+            # J x per row: sum_i A[r][i] dc[i] + sum_k B[r][k] dp[k]
+            jx = []
+            for a_ in range(n):
+                rows = []
+                for r in range(2):
+                    acc = A[r][0] * dc_ref[a_ * 6, c]
+                    for i in range(1, 6):
+                        acc += A[r][i] * dc_ref[a_ * 6 + i, c]
+                    for k in range(3):
+                        acc += (
+                            B[r][k] * dp_ref[pl.ds(a_ * 3 + k, 1), :, :][0]
+                        )
+                    rows.append(acc)
+                jx.append(rows)
+            # upper-triangle Gram entries, per-lane partials
+            idx = 0
+            for a_ in range(n):
+                for b_ in range(a_, n):
+                    acc_ref[idx] += (
+                        jx[a_][0] * jx[b_][0] + jx[a_][1] * jx[b_][1]
+                    )
+                    idx += 1
+
+        if mask_ref is None:
+            compute()
+        else:
+            pl.when(mask_ref[c, p_id] > 0)(compute)
         return 0
 
     jax.lax.fori_loop(0, G, body, 0)
@@ -225,7 +268,7 @@ def _jgram_kernel(kq_ref, camv_ref, dc_ref, X_ref, dp_ref, valid_ref,
 
 @functools.partial(jax.jit, static_argnames=("clamp",))
 def jgram_dense_pallas(K, q0, cams, pts, valid_d, dirs_c, dirs_p,
-                      clamp=False):
+                      clamp=False, tile_mask=None):
     """Gram matrix of J-applications on the dense grid: G[a, b] =
     <J x_a, J x_b> for direction vectors x = (dirs_c [n, C, 6] camera
     parts, dirs_p [n, 3, Pp] planar point parts), J the coeff-free
@@ -269,6 +312,11 @@ def jgram_dense_pallas(K, q0, cams, pts, valid_d, dirs_c, dirs_p,
     if Cp != C:
         vd = jnp.pad(vd, ((0, Cp - C), (0, 0)))
     vd = vd.reshape(Cp, 8, Pp // 8)
+    has_mask = tile_mask is not None
+    if has_mask:
+        mask = tile_mask.astype(jnp.int32)
+        if Cp != C:
+            mask = jnp.pad(mask, ((0, Cp - C), (0, 0)))
 
     npair = n * (n + 1) // 2
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -290,14 +338,23 @@ def jgram_dense_pallas(K, q0, cams, pts, valid_d, dirs_c, dirs_p,
         memory_space=pltpu.VMEM,
     )
 
+    in_specs = [smem, smem, smem]
+    inputs = [kq, camv, dc]
+    if has_mask:
+        in_specs.append(smem)
+        inputs.append(mask)
+    in_specs += [x_spec, dp_spec, row_spec]
+    inputs += [Xp, dp, vd]
     acc = pl.pallas_call(
-        functools.partial(_jgram_kernel, G=G, n=n, clamp=clamp),
+        functools.partial(
+            _jgram_kernel, G=G, n=n, clamp=clamp, has_mask=has_mask
+        ),
         grid=(n_pt, n_cg),
-        in_specs=[smem, smem, smem, x_spec, dp_spec, row_spec],
+        in_specs=in_specs,
         out_specs=acc_spec,
         out_shape=jax.ShapeDtypeStruct((npair, 8, TL), f32),
         interpret=_interpret(),
-    )(kq, camv, dc, Xp, dp, vd)
+    )(*inputs)
 
     tri = jnp.sum(acc, axis=(1, 2))                     # [npair]
     Gm = jnp.zeros((n, n), f32)

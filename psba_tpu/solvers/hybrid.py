@@ -98,6 +98,18 @@ def solve(
     `schur` in {"auto", "dense", "pairs"} picks the S-assembly encoding
     (see ProblemArrays.from_problem)."""
     cfg = config or SolverConfig.for_dtype(dtype or problem.pts.dtype)
+    from psba_tpu import constants as _C
+
+    use_dense = schur == "dense" or (
+        schur == "auto"
+        and problem.n_cams * problem.n_pts <= _C.DENSE_SCHUR_MAX_ENTRIES
+    )
+    point_map = None
+    if use_dense:
+        # cluster covisible points into the dense kernels' grid tiles so
+        # the per-(camera, tile) occupancy skip bites (problem.py); the
+        # returned map restores the caller's point order on output
+        problem, point_map = problem.with_tile_point_order()
     pa = ProblemArrays.from_problem(problem, dtype=dtype, schur=schur)
     cams = jnp.asarray(problem.cams, dtype=pa.K.dtype)
     pts = jnp.asarray(problem.pts, dtype=pa.K.dtype)
@@ -250,9 +262,12 @@ def solve(
     wall = time.perf_counter() - t0
 
     final_l2 = float(state.ex_l2)
+    pts_out = np.asarray(state.pts)
+    if point_map is not None:
+        pts_out = pts_out[point_map]
     return SolveResult(
         cams=np.asarray(state.cams),
-        pts=np.asarray(state.pts),
+        pts=pts_out,
         initial_l2=initial_l2,
         final_l2=final_l2,
         initial_error=float(np.sqrt(initial_l2) / n_obs),

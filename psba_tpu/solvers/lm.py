@@ -185,6 +185,7 @@ def lm_run(
             ZW0, ZW1, ZW2, Vp, gbp3, _Pp, U, ga = linearize_dense_pallas(
                 pa.K, pa.q0, s.cams, s.pts, pa.obs_du, pa.obs_dv,
                 pa.valid_d, clamp=cfg.clamp_quat, want_u=True,
+                tile_mask=pa.tile_mask,
             )
             ZW3 = (ZW0, ZW1, ZW2)
             gb = gbp3[:, :P_loc].T              # [P, 3] for denominators
@@ -302,6 +303,7 @@ def lm_run(
                 gain_k, _new_l2 = gain_dense_pallas(
                     pa.K, pa.q0, t.cams, t.pts, new_cams, new_pts,
                     pa.obs_du, pa.obs_dv, pa.valid_d, clamp=cfg.clamp_quat,
+                    tile_mask=pa.tile_mask,
                 )
             elif pallas:
                 new_ex, new_l2 = residual_l2_pallas(

@@ -232,6 +232,7 @@ def tr_run(
             ZW0, ZW1, ZW2, Vp1, gbp1, _Pp = linearize_dense_pallas(
                 pa.K, pa.q0, s.cams, s.pts, pa.obs_du, pa.obs_dv,
                 pa.valid_d, clamp=cfg.clamp_quat,
+                tile_mask=pa.tile_mask,
             )
             # every Schur-system block carries the TR coeff 2 (B = 2 J^T J,
             # trust_region.cpp:122-137): U, V, W, and g alike — the kernel
@@ -284,7 +285,7 @@ def tr_run(
             gtBg_n = 2.0 * ctx.psum(jgram_dense_pallas(
                 pa.K, pa.q0, s.cams, s.pts, pa.valid_d,
                 gh_c[None], (g_pp3 / gm)[None],
-                clamp=cfg.clamp_quat,
+                clamp=cfg.clamp_quat, tile_mask=pa.tile_mask,
             )[0, 0])
         else:
             Jg = jmultiply(A, B, gh_c, gh_p, pa.cam_idx, pa.pt_idx)
@@ -388,7 +389,7 @@ def tr_run(
                 pa.K, pa.q0, s.cams, s.pts, pa.valid_d,
                 jnp.stack([pu_c, pb_c], axis=0),
                 jnp.stack([pu_pp3, pb_pp3], axis=0),
-                clamp=cfg.clamp_quat,
+                clamp=cfg.clamp_quat, tile_mask=pa.tile_mask,
             ))
             pUtBpU, pUtBpB, pBtBpB = Gm[0, 0], Gm[0, 1], Gm[1, 1]
         else:
@@ -418,6 +419,7 @@ def tr_run(
                 gain_k, act_k = gain_dense_pallas(
                     pa.K, pa.q0, m.cams, m.pts, new_cams, new_pts,
                     pa.obs_du, pa.obs_dv, pa.valid_d, clamp=cfg.clamp_quat,
+                    tile_mask=pa.tile_mask,
                 )
                 gain, act = ctx.psum(gain_k), ctx.psum(act_k)
             elif pallas:
@@ -452,6 +454,7 @@ def tr_run(
                 ptBp = 2.0 * ctx.psum(jgram_dense_pallas(
                     pa.K, pa.q0, m.cams, m.pts, pa.valid_d,
                     p_c[None], p_pp3[None], clamp=cfg.clamp_quat,
+                    tile_mask=pa.tile_mask,
                 )[0, 0])
             else:
                 Jp = jmultiply(A, B, p_c, p_p, pa.cam_idx, pa.pt_idx)

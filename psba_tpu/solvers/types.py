@@ -97,6 +97,10 @@ class ProblemArrays(NamedTuple):
     obs_du: jnp.ndarray | None = None       # [C, P] f32 measurements (u)
     obs_dv: jnp.ndarray | None = None       # [C, P] f32 measurements (v)
     valid_d: jnp.ndarray | None = None      # [C, P] f32 cell mask
+    # (camera x grid-tile) occupancy for the dense kernels' exact
+    # per-(camera, tile) skip (ops.linearize_dense.build_tile_mask);
+    # pays off after BAProblem.with_tile_point_order clustering
+    tile_mask: jnp.ndarray | None = None    # [C, n_pt] i32
 
     @staticmethod
     def from_problem(prob, dtype=None, schur="auto"):
@@ -115,9 +119,12 @@ class ProblemArrays(NamedTuple):
             if np.issubdtype(a.dtype, np.floating) else jnp.asarray(a)
         )
         opt = lambda a: None if a is None else jnp.asarray(a)
-        obs_du = obs_dv = valid_d = None
+        obs_du = obs_dv = valid_d = tile_mask = None
         if prob.blk_idx is not None:
-            from psba_tpu.ops.linearize_dense import dense_obs_tables
+            from psba_tpu.ops.linearize_dense import (
+                build_tile_mask,
+                dense_obs_tables,
+            )
 
             du, dv, vd = dense_obs_tables(
                 prob.blk_idx, prob.obs, prob.n_obs
@@ -125,6 +132,7 @@ class ProblemArrays(NamedTuple):
             obs_du, obs_dv, valid_d = (
                 jnp.asarray(du), jnp.asarray(dv), jnp.asarray(vd)
             )
+            tile_mask = jnp.asarray(build_tile_mask(vd))
         return ProblemArrays(
             K=cast(prob.K), q0=cast(prob.q0), obs=cast(prob.obs),
             cam_idx=jnp.asarray(prob.cam_idx),
@@ -134,6 +142,7 @@ class ProblemArrays(NamedTuple):
             pair_bucket=opt(prob.pair_bucket),
             blk_idx=opt(prob.blk_idx),
             obs_du=obs_du, obs_dv=obs_dv, valid_d=valid_d,
+            tile_mask=tile_mask,
         )
 
     @property

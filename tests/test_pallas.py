@@ -308,6 +308,105 @@ def test_jgram_dense_matches_jmultiply(prob_synth):
     np.testing.assert_allclose(np.asarray(Gm), ref, rtol=1e-4)
 
 
+def test_tile_mask_skip_exact(prob_synth):
+    """The per-(camera, tile) occupancy skip must be exact: with a
+    camera whose observations are all masked out (empty tile row), the
+    masked kernels must reproduce the unmasked outputs bit-for-bit."""
+    from psba_tpu.ops.linearize_dense import (
+        build_tile_mask,
+        linearize_dense_pallas,
+    )
+    from psba_tpu.ops.residual_dense import (
+        gain_dense_pallas,
+        jgram_dense_pallas,
+    )
+    from psba_tpu.solvers.types import ProblemArrays
+
+    p = prob_synth.with_blk()
+    f32 = jnp.float32
+    pa = ProblemArrays.from_problem(p, dtype=f32, schur="dense")
+    cams = jnp.asarray(p.cams, f32)
+    pts = jnp.asarray(p.pts, f32)
+    C, P = p.n_cams, p.n_pts
+
+    # empty camera 0: its whole tile row becomes skippable
+    vd = pa.valid_d.at[0].set(0.0)
+    mask = jnp.asarray(build_tile_mask(vd))
+    assert int(mask[0].sum()) == 0 and int(mask.sum()) > 0
+
+    ref = linearize_dense_pallas(
+        pa.K, pa.q0, cams, pts, pa.obs_du, pa.obs_dv, vd, want_u=True
+    )
+    out = linearize_dense_pallas(
+        pa.K, pa.q0, cams, pts, pa.obs_du, pa.obs_dv, vd, want_u=True,
+        tile_mask=mask,
+    )
+    for a, b in zip(
+        (ref[0], ref[1], ref[2], ref[3], ref[4], ref[6], ref[7]),
+        (out[0], out[1], out[2], out[3], out[4], out[6], out[7]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    rng = np.random.default_rng(5)
+    new_cams = cams + jnp.asarray(
+        1e-3 * rng.standard_normal(cams.shape), f32
+    )
+    new_pts = pts + jnp.asarray(1e-3 * rng.standard_normal(pts.shape), f32)
+    g_ref = gain_dense_pallas(
+        pa.K, pa.q0, cams, pts, new_cams, new_pts,
+        pa.obs_du, pa.obs_dv, vd,
+    )
+    g_out = gain_dense_pallas(
+        pa.K, pa.q0, cams, pts, new_cams, new_pts,
+        pa.obs_du, pa.obs_dv, vd, tile_mask=mask,
+    )
+    assert float(g_ref[0]) == float(g_out[0])
+    assert float(g_ref[1]) == float(g_out[1])
+
+    dirs_c = jnp.asarray(rng.standard_normal((1, C, 6)), f32)
+    dirs_p = jnp.asarray(rng.standard_normal((1, 3, P)), f32)
+    j_ref = jgram_dense_pallas(pa.K, pa.q0, cams, pts, vd, dirs_c, dirs_p)
+    j_out = jgram_dense_pallas(
+        pa.K, pa.q0, cams, pts, vd, dirs_c, dirs_p, tile_mask=mask
+    )
+    np.testing.assert_array_equal(np.asarray(j_ref), np.asarray(j_out))
+
+
+def test_tile_point_order_roundtrip(prob_synth):
+    """with_tile_point_order must preserve problem semantics (initial
+    L2 invariant, valid invariants) and solve() must return pts in the
+    caller's original order."""
+    import jax
+
+    from psba_tpu.core.residual import error_l2, residuals
+    from psba_tpu.solvers import SolverConfig
+    from psba_tpu.solvers.hybrid import solve
+
+    p = prob_synth
+    p2, newpos = p.with_tile_point_order()
+    p2.validate()
+    # permutation is a bijection and maps points consistently
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(newpos)), np.arange(p.n_pts)
+    )
+    np.testing.assert_allclose(p2.pts[newpos], p.pts)
+    l2a = float(error_l2(residuals(
+        jnp.asarray(p.K), jnp.asarray(p.q0), jnp.asarray(p.cams),
+        jnp.asarray(p.pts), jnp.asarray(p.obs),
+        jnp.asarray(p.cam_idx), jnp.asarray(p.pt_idx),
+    )))
+    l2b = float(error_l2(residuals(
+        jnp.asarray(p2.K), jnp.asarray(p2.q0), jnp.asarray(p2.cams),
+        jnp.asarray(p2.pts), jnp.asarray(p2.obs),
+        jnp.asarray(p2.cam_idx), jnp.asarray(p2.pt_idx),
+    )))
+    np.testing.assert_allclose(l2a, l2b, rtol=1e-12)
+
+    # 0-iteration solve: output pts must equal the input in-order
+    res = solve(p, SolverConfig(max_iters=0), dtype=jnp.float64)
+    np.testing.assert_allclose(res.pts, np.asarray(p.pts), rtol=1e-12)
+
+
 def test_dense_padded_lanes_identity(prob_synth):
     """Padded planar V lanes are seeded with identity so inv3x3_planar3's
     ok flag (and its lax.cond fallback gate) ignore them: at mu=0 the
