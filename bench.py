@@ -75,6 +75,9 @@ def main():
         f"{data}/Trafalgar-21-11315-cams.txt",
         f"{data}/Trafalgar-21-11315-pts.txt",
     )
+    # the same tile-major point clustering hybrid.solve applies on dense
+    # problems (enables the kernels' (camera, tile) occupancy skip)
+    prob, _ = prob.with_tile_point_order()
 
     pa = ProblemArrays.from_problem(prob, dtype=jnp.float32)
     cams = jnp.asarray(prob.cams, jnp.float32)
