@@ -266,7 +266,19 @@ def summarize(C: int, P: int, O: int, measured_iter_ms: float,
     bound      : which hardware term binds the roofline ("hbm"/"mxu"/"vpu");
                  measured time above ~2x the roofline indicates the real
                  limiter is dispatch/sequential-op latency instead
+
+    Raises ValueError on a non-positive measurement: a zero/negative
+    iteration time is a broken measurement (round 4 published MFU -1.18
+    because a sub-noise-floor marginal window sailed through here), and
+    derived fractions from it are noise with a sign.
     """
+    if not measured_iter_ms > 0.0:
+        raise ValueError(
+            f"measured_iter_ms={measured_iter_ms!r} is not positive: "
+            "the measurement is invalid (sub-noise-floor marginal "
+            "window?) — refuse it rather than derive negative "
+            "mfu/hbm_frac from it"
+        )
     r = lm_iter_roofline(C, P, O, peaks=peaks, retries=retries,
                          mxu_precision=mxu_precision)
     t = measured_iter_ms * 1e-3
@@ -275,7 +287,7 @@ def summarize(C: int, P: int, O: int, measured_iter_ms: float,
         else peaks.mxu_f32_3pass_tflops if mxu_precision == "high"
         else peaks.mxu_bf16_tflops
     )
-    sol = r.total_ms / measured_iter_ms if measured_iter_ms > 0 else 0.0
+    sol = r.total_ms / measured_iter_ms
     return {
         "roofline_iter_ms": round(r.total_ms, 4),
         "sol_frac": round(sol, 4),

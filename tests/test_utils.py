@@ -123,3 +123,19 @@ def test_phase_timers_in_solve(prob_synth):
     res = solve(prob_synth)
     assert "lm" in res.phase_report
     assert "phase timing:" in res.phase_report
+
+
+def test_roofline_summarize_rejects_invalid_measurement():
+    """A non-positive iteration time is a broken measurement; summarize
+    must refuse it instead of deriving negative mfu/hbm_frac (the exact
+    failure that published BENCH_r04's mfu=-1.18)."""
+    import pytest
+
+    from psba_tpu.utils.roofline import summarize
+
+    with pytest.raises(ValueError):
+        summarize(21, 11315, 36455, -0.028)
+    with pytest.raises(ValueError):
+        summarize(21, 11315, 36455, 0.0)
+    out = summarize(21, 11315, 36455, 0.25)
+    assert out["mfu"] > 0 and out["hbm_frac"] > 0 and out["sol_frac"] > 0
