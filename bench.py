@@ -61,7 +61,12 @@ def main():
     )
     from psba_tpu.io import load_problem
     from psba_tpu.solvers.lm import lm_run
-    from psba_tpu.solvers.types import OptState, ProblemArrays, SolverConfig
+    from psba_tpu.solvers.types import (
+        OptState,
+        ProblemArrays,
+        SolverConfig,
+        resolve_damping,
+    )
 
     data = "/root/reference/data"
     prob = load_problem(
@@ -77,9 +82,14 @@ def main():
     pts = jnp.asarray(prob.pts, jnp.float32)
     state0 = OptState.init(pa, cams, pts)
 
-    # no early stop / no LM->TR switch: fixed work per run
+    # no early stop / no LM->TR switch: fixed work per run; damping
+    # resolved exactly as the default solve() would (trafalgar21's diag
+    # ratio 4.2e8 < 8.4e9 resolves to additive — reference parity)
     cfg = SolverConfig(
         max_iters=N_ITERS, stop_thresh=1e-30, lm_switch_count=10_000
+    )
+    cfg = resolve_damping(cfg, pa, cams, pts)._replace(
+        lm_switch_count=10_000
     )
 
     run_repeat = lm_repeat_runner(lm_run)

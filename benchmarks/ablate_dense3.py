@@ -121,7 +121,8 @@ def main():
     # --- dense gain kernel -> constant positive gain (always accept-ish)
     orig_gain = lm.gain_dense_pallas
 
-    def gain_stub(K, q0, cams_, pts_, nc, npts, du, dv, vd, clamp=False):
+    def gain_stub(K, q0, cams_, pts_, nc, npts, du, dv, vd, clamp=False,
+                  tile_mask=None):
         one = jnp.asarray(1.0, jnp.float32)
         return one, one
 
@@ -133,7 +134,7 @@ def main():
     orig_dense = lm.linearize_dense_pallas
 
     def dense_stub(K, q0, cams_, pts_, du, dv, vd, clamp=False,
-                   want_u=False):
+                   want_u=False, tile_mask=None):
         P = vd.shape[1]
         step = 2048
         Pp = ((P + step - 1) // step) * step

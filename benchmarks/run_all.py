@@ -13,11 +13,14 @@ Each row carries:
   - solve_wall_s (cold, includes compile) and solve_wall_warm_s (second
     call, compile-excluded — the number comparable to the reference's
     wall-clock report, PSBA/main.cpp:214);
-  - lm_iter_ms via the MARGINAL method with a noise-floor guard: the
-    iteration count N2 is escalated until the marginal window t(N2)-t(N1)
-    clears 10x the timer jitter; if it cannot, lm_iter_ms is null with a
-    note (regression guard: a 4.5 ms window once produced a committed
-    negative per-iteration time);
+  - lm_iter_ms via the repeats-MARGINAL method with a noise-floor guard
+    (benchmarks/measure.py): one dispatch runs K identical fixed-length
+    solves in a device-side fori_loop, and K2 escalates until the window
+    t(K2)-t(K1) clears 10x the observed timer jitter; if it cannot,
+    lm_iter_ms is null with a note (regression guard: a 4.5 ms window
+    once produced a committed negative per-iteration time). Unlike the
+    round-4 N2-escalation, the window is no longer capped by the
+    dataset's f32 convergence horizon;
   - roofline accounting (sol_frac / bound / seq_steps) from
     psba_tpu.utils.roofline at the row's (C, P, O) shape.
 
@@ -35,9 +38,8 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# noise-floor guard: the marginal window must clear this many multiples of
-# the observed per-run timer jitter before (t2-t1)/(n2-n1) is trusted
-NOISE_MULT = 10.0
+# iteration budget for the stop-disabled timing config (the repeats
+# method only ever runs `iters`-length trajectories below this cap)
 N2_MAX = 320
 
 
@@ -54,34 +56,54 @@ def _enable_compile_cache():
         pass  # older jax without these knobs
 
 
-def bench_dataset(name, dtype, iters=10, damping="additive"):
-    import jax
+def bench_dataset(name, dtype, iters=10, damping="auto", polish_iters=6):
     import jax.numpy as jnp
     import numpy as np
 
+    from benchmarks.measure import (
+        lm_repeat_runner,
+        make_timed_call,
+        marginal_iter_ms,
+    )
+    from psba_tpu import constants as CC
     from psba_tpu import datasets
     from psba_tpu.solvers import SolverConfig
     from psba_tpu.solvers.hybrid import solve
     from psba_tpu.solvers.lm import lm_run
-    from psba_tpu.solvers.types import OptState, ProblemArrays
+    from psba_tpu.solvers.types import (
+        OptState,
+        ProblemArrays,
+        resolve_damping,
+    )
     from psba_tpu.utils.roofline import summarize
 
     prob = datasets.load(name)
     row = {
         "dataset": name, "cams": prob.n_cams, "pts": prob.n_pts,
         "obs": prob.n_obs, "complete": datasets.REGISTRY[name].complete,
-        "damping": damping,
     }
-    cfg_kw = {} if damping == "additive" else {
+
+    # resolve damping="auto" once so the row records the actual mode
+    # (solve() would resolve identically; doing it here shares the probe
+    # with the timing config below)
+    pa = ProblemArrays.from_problem(prob, dtype=dtype)
+    cams = jnp.asarray(prob.cams, dtype)
+    pts = jnp.asarray(prob.pts, dtype)
+    cfg_kw = {} if damping in ("auto", "additive") else {
         "damping": damping, "lm_switch_count": 10_000,
     }
+    cfg0 = resolve_damping(
+        SolverConfig.for_dtype(dtype, damping=damping, **cfg_kw),
+        pa, cams, pts,
+    )
+    row["damping"] = (
+        damping if damping != "auto" else f"auto->{cfg0.damping}"
+    )
 
     # convergence (hybrid, dtype-adapted stops); second call reuses the
     # module-level jitted runners -> compile-excluded wall-clock
-    res = solve(prob, SolverConfig.for_dtype(dtype, **cfg_kw), dtype=dtype)
-    res_warm = solve(
-        prob, SolverConfig.for_dtype(dtype, **cfg_kw), dtype=dtype
-    )
+    res = solve(prob, cfg0, dtype=dtype)
+    res_warm = solve(prob, cfg0, dtype=dtype)
     row.update(
         initial_error=res.initial_error, final_error=res.final_error,
         rms_px=float(np.sqrt(res.final_l2 / prob.n_obs)),
@@ -96,90 +118,64 @@ def bench_dataset(name, dtype, iters=10, damping="additive"):
             "(levmar.cpp:100) still improving; CONTINUE = budget "
             "exhausted, not divergence"
         )
+        if polish_iters and np.dtype(dtype) != np.float64:
+            # the committed rms_px must not overstate the achievable
+            # error: append the repo's own f64 polish (hybrid.py) and
+            # report the converged companion number alongside
+            res_p = solve(prob, cfg0, dtype=dtype,
+                          polish_iters=polish_iters)
+            row["rms_px_polished"] = float(
+                np.sqrt(res_p.final_l2 / prob.n_obs)
+            )
+            row["polish_note"] = (
+                f"+{polish_iters} float64 LM polish iterations "
+                f"(flag {res_p.flag_name}); main-run rms_px above is the "
+                "budget-capped f32 number"
+            )
 
-    # fixed-work LM iteration timing — MARGINAL method (bench.py): the
-    # dynamic iter_cap reuses one compilation for both run lengths, so
-    # (t(N2) - t(N1)) / (N2 - N1) isolates device compute from the fixed
-    # per-dispatch tunnel latency
-    n1 = 2
-    cfg = SolverConfig.for_dtype(
-        dtype, max_iters=N2_MAX, stop_thresh=1e-30, lm_switch_count=10_000,
-        damping=damping,
+    # fixed-work LM iteration timing — repeats-marginal method
+    # (benchmarks/measure.py): one dispatch runs K identical fixed-length
+    # solves, so the window clears the tunnel jitter floor regardless of
+    # the dataset's precision horizon
+    cfg = cfg0._replace(
+        max_iters=N2_MAX, stop_thresh=1e-30, lm_switch_count=10_000,
     )
-    pa = ProblemArrays.from_problem(prob, dtype=dtype)
-    cams = jnp.asarray(prob.cams, dtype)
-    pts = jnp.asarray(prob.pts, dtype)
     state0 = OptState.init(pa, cams, pts)
-    run = jax.jit(lm_run, static_argnames=("cfg",))
+    run_repeat = lm_repeat_runner(lm_run)
 
-    class _Horizon(Exception):
-        """Fixed-work run ended before the cap: with stop tests disabled,
-        a run driven past its dtype's convergence floor rejects every
-        step and escalates mu to overflow (flag ERR). The iterations
-        before the floor are still perfectly timeable."""
+    # probe the horizon: with stops disabled, a run driven past the
+    # dtype's convergence floor rejects every step and escalates mu to
+    # overflow (flag ERR); time only iterations before that, excluding
+    # the flag-firing iteration itself (its retry storm is atypical work)
+    acc, itno = run_repeat(
+        pa, state0, cfg, jnp.int32(iters), jnp.int32(1)
+    )
+    probe_it = int(itno)
+    n_iters = probe_it if probe_it >= iters else max(probe_it - 1, 0)
+    if n_iters < 1:
+        row["lm_iter_ms"] = None
+        row["timing_note"] = (
+            f"{dtype.__name__} convergence horizon at iteration "
+            f"{probe_it} leaves no timeable fixed-work window"
+        )
+        return row
+    if n_iters < iters:
+        row["timing_note"] = (
+            f"repeat length capped at {n_iters}: beyond it the "
+            f"stop-disabled run passes the {dtype.__name__} precision "
+            "floor and mu escalates to overflow"
+        )
 
-        def __init__(self, itno):
-            self.itno = itno
-
-    def timed(cap):
-        out = run(pa, state0, cfg, iter_cap=jnp.int32(cap))
-        out.ex_l2.block_until_ready()
-        itno = int(out.itno)
-        if itno != cap:
-            raise _Horizon(itno)
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = run(pa, state0, cfg, iter_cap=jnp.int32(cap))
-            out.ex_l2.block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        return min(ts), (max(ts) - min(ts))
-
-    t1, jitter1 = timed(n1)
-    n2 = iters
-    horizon = None
-    while True:
-        try:
-            t2, jitter2 = timed(n2)
-        except _Horizon as h:
-            if h.itno <= n1 + 2:
-                row["lm_iter_ms"] = None
-                row["timing_note"] = (
-                    f"{dtype.__name__} convergence horizon at iteration "
-                    f"{h.itno} leaves no marginal window above N1={n1}"
-                )
-                break
-            horizon = h.itno - 1
-            n2 = horizon
-            row["timing_note"] = (
-                f"N2 capped at {n2}: beyond it the stop-disabled run "
-                f"passes the {dtype.__name__} precision floor and mu "
-                "escalates to overflow"
-            )
-            continue
-        window = t2 - t1
-        floor = NOISE_MULT * max(jitter1, jitter2, 1e-4)
-        if window >= floor:
-            ms = window / (n2 - n1) * 1e3
-            row["lm_iter_ms"] = round(ms, 3)
-            row["obs_per_s"] = int(prob.n_obs / (ms * 1e-3))
-            row["timing_n"] = [n1, n2]
-            row["roofline"] = summarize(
-                prob.n_cams, prob.n_pts, prob.n_obs, ms
-            )
-            break
-        if n2 >= N2_MAX or (horizon is not None and n2 >= horizon):
-            row["lm_iter_ms"] = None
-            row["timing_note"] = (
-                f"marginal window {window*1e3:.2f} ms at N2={n2} is below "
-                f"the {NOISE_MULT:.0f}x timer-jitter floor "
-                f"({floor*1e3:.2f} ms); per-iteration time is under the "
-                "measurement noise floor on this tunnel"
-            )
-            break
-        n2 = min(n2 * 4, N2_MAX)
-        if horizon is not None:
-            n2 = min(n2, horizon)
+    call = make_timed_call(run_repeat, pa, state0, cfg, n_iters)
+    ms, diag = marginal_iter_ms(call, n_iters, k_max=128)
+    row["timing"] = diag
+    if ms is None:
+        row["lm_iter_ms"] = None
+        row["timing_note"] = diag["note"]
+    else:
+        row["lm_iter_ms"] = round(ms, 3)
+        row["obs_per_s"] = int(prob.n_obs / (ms * 1e-3))
+        row["roofline"] = summarize(prob.n_cams, prob.n_pts, prob.n_obs, ms)
     return row
 
 
@@ -194,9 +190,11 @@ def main(argv=None):
         "54camsvarKD,9camsvarK,7camsvarK"
     ))
     ap.add_argument("--out", default=None)
-    ap.add_argument("--damping", default="additive",
-                    choices=["additive", "marquardt"],
-                    help="damping model for the first attempt")
+    ap.add_argument("--damping", default="auto",
+                    choices=["auto", "additive", "marquardt"],
+                    help="damping model (auto = per-problem resolution "
+                         "via solvers.types.resolve_damping, the "
+                         "default-config behavior)")
     args = ap.parse_args(argv)
 
     import jax

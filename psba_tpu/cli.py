@@ -46,11 +46,14 @@ def build_parser():
                         "the main run (mixed-precision strategy)")
     p.add_argument("--clamp-quat", action="store_true",
                    help="guard sqrt(1-||v||^2) against NaN")
-    p.add_argument("--damping", choices=["additive", "marquardt"],
-                   default="additive",
+    p.add_argument("--damping", choices=["auto", "additive", "marquardt"],
+                   default="auto",
                    help="LM damping model: additive mu*I (reference "
-                        "semantics) or scale-invariant multiplicative "
-                        "mu*diag(H) for mixed-scale BAL cameras")
+                        "semantics), scale-invariant multiplicative "
+                        "mu*diag(H) for mixed-scale BAL cameras, or auto "
+                        "(default: additive unless the measured Hessian "
+                        "diagonal range would erase the smallest "
+                        "diagonal in the working precision)")
     p.add_argument("--s-precision", choices=["highest", "high"],
                    default="highest",
                    help="MXU precision of the dense3 Schur matmuls: "

@@ -185,6 +185,9 @@ def solve_distributed(prob: BAProblem, cfg: SolverConfig | None = None,
     from psba_tpu.solvers.hybrid import SolveResult
 
     cfg = cfg or SolverConfig()
+    from psba_tpu.parallel.shard import _resolve_damping_host
+
+    cfg = _resolve_damping_host(cfg, prob, dtype)
     mesh = mesh or global_mesh()
     n_devices = int(np.prod(mesh.devices.shape))
 

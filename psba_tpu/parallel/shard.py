@@ -255,6 +255,29 @@ def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
     return pa_global, cams0, pts0, init_s, lm_s, tr_s
 
 
+def _resolve_damping_host(cfg: SolverConfig, prob: BAProblem, dtype):
+    """Resolve damping="auto" from the FULL problem before sharding.
+
+    Every process/device evaluates the same deterministic probe on the
+    replicated problem metadata, so the resolved config (a static jit
+    argument) is identical everywhere — no collective needed."""
+    if cfg.damping != "auto":
+        return cfg
+    from psba_tpu.solvers.types import resolve_damping
+
+    dt = dtype or prob.pts.dtype
+    pa_probe = ProblemArrays(
+        K=jnp.asarray(prob.K, dt), q0=jnp.asarray(prob.q0, dt),
+        obs=jnp.asarray(prob.obs, dt),
+        cam_idx=jnp.asarray(prob.cam_idx),
+        pt_idx=jnp.asarray(prob.pt_idx),
+    )
+    return resolve_damping(
+        cfg, pa_probe, jnp.asarray(prob.cams, dt),
+        jnp.asarray(prob.pts, dt),
+    )
+
+
 def solve_sharded(prob: BAProblem, cfg: SolverConfig | None = None,
                   n_devices: int | None = None, dtype=None, start="lm",
                   schur="auto"):
@@ -264,6 +287,7 @@ def solve_sharded(prob: BAProblem, cfg: SolverConfig | None = None,
     from psba_tpu.solvers.hybrid import SolveResult
 
     cfg = cfg or SolverConfig()
+    cfg = _resolve_damping_host(cfg, prob, dtype)
     n_devices = n_devices or len(jax.devices())
     mesh = _make_mesh(n_devices)
     sp = shard_problem(prob, n_devices, schur=schur)

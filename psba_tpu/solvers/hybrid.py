@@ -110,9 +110,24 @@ def solve(
         # the per-(camera, tile) occupancy skip bites (problem.py); the
         # returned map restores the caller's point order on output
         problem, point_map = problem.with_tile_point_order()
+    # checkpoint compatibility marker: pts are persisted in the solver's
+    # INTERNAL order (tile-clustered when dense); a checkpoint written
+    # under a different order (schur="pairs" run, or a different
+    # clustering version) would be silently misinterpreted on resume
+    if point_map is None:
+        point_order = "natural"
+    else:
+        import zlib
+
+        point_order = (
+            f"tile-{zlib.crc32(np.ascontiguousarray(point_map)):08x}"
+        )
     pa = ProblemArrays.from_problem(problem, dtype=dtype, schur=schur)
     cams = jnp.asarray(problem.cams, dtype=pa.K.dtype)
     pts = jnp.asarray(problem.pts, dtype=pa.K.dtype)
+    from psba_tpu.solvers.types import resolve_damping
+
+    cfg = resolve_damping(cfg, pa, cams, pts)
 
     chunk = int(checkpoint_every) if checkpoint_dir else 0
     phase = start
@@ -125,6 +140,16 @@ def solve(
         restored = ckpt.load_latest(checkpoint_dir)
         if restored is not None:
             r_cams, r_pts, meta = restored
+            saved_order = meta.get("point_order", "natural")
+            if saved_order != point_order:
+                raise ValueError(
+                    f"checkpoint in {checkpoint_dir!r} stores points in "
+                    f"order {saved_order!r} but this run uses "
+                    f"{point_order!r} (schur encoding or tile-clustering "
+                    "version changed since it was written); resuming "
+                    "would silently scramble the point array — delete "
+                    "the checkpoint or rerun with the original settings"
+                )
             cams = jnp.asarray(r_cams, dtype=pa.K.dtype)
             pts = jnp.asarray(r_pts, dtype=pa.K.dtype)
             phase = meta.get("phase", start)
@@ -189,7 +214,8 @@ def solve(
             ckpt.save(
                 checkpoint_dir, state.cams, state.pts, int(state.itno),
                 flag, next_phase or phase,
-                extra={"ex_l2": float(state.ex_l2)},
+                extra={"ex_l2": float(state.ex_l2),
+                       "point_order": point_order},
                 aux=state.aux if mid_phase else None,
             )
         if next_phase is None:
@@ -219,6 +245,10 @@ def solve(
                 jnp.asarray(state.pts, jnp.float64),
                 clamp=cfg.clamp_quat,
             )._replace(itno=state.itno)
+            # re-resolve damping="auto" at f64: thresholds are dtype-
+            # dependent (most problems that need marquardt in f32 are
+            # representable additively — reference parity — in f64)
+            cfg64 = resolve_damping(cfg64, pa64, state64.cams, state64.pts)
             if chunk:
                 aux64 = (
                     jnp.asarray(resume_aux, jnp.float64)
@@ -251,6 +281,7 @@ def solve(
                         extra={
                             "ex_l2": float(state64.ex_l2),
                             "polish_target": polish_target,
+                            "point_order": point_order,
                         },
                         aux=state64.aux if mid_phase else None,
                     )

@@ -168,6 +168,13 @@ def lm_run(
     # kernel (ops.linearize_dense_pallas) — no stack_blocks gather, no
     # [P, 3, 3] relayouts anywhere in the damping-retry loop
     dense3 = dense and pallas and pa.obs_du is not None
+    if cfg.damping == "auto":
+        raise ValueError(
+            'cfg.damping="auto" must be resolved before lm_run (it '
+            "selects a traced program): call "
+            "psba_tpu.solvers.types.resolve_damping(cfg, pa, cams, pts) "
+            "— hybrid.solve / solve_sharded do this automatically"
+        )
     marq = cfg.damping == "marquardt"
     s_prec = (
         jax.lax.Precision.HIGH if cfg.s_precision == "high"

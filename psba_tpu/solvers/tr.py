@@ -463,7 +463,14 @@ def tr_run(
             rho = gain / (m.ex_l2 - pred)
 
             improved = gain > 0
-            reduce_region = (rho < 0.25) | ~improved
+            # the reference's reduce test is STRICT act>ex (gain<0, not
+            # gain<=0; trust_region.cpp:223): with gain==0 and NaN rho
+            # (pred==ex so the denominator vanishes) no branch claims
+            # the try and the isnan check fires TURN_TO_LM. A real rho
+            # with gain==0 is 0 and reduces either way, so the strict
+            # form only changes the NaN routing — kept identical to the
+            # reference's ordering (trust_region.cpp:223-249)
+            reduce_region = (rho < 0.25) | (gain < 0)
             accept_hi = (rho >= 0.75) & improved
             accept_lo = (rho >= 0.25) & (rho < 0.75) & improved
             accept = (accept_hi | accept_lo) & ~tiny

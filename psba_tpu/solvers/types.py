@@ -45,16 +45,22 @@ class SolverConfig(NamedTuple):
     # at BAL camera counts (measured ~16% off a rome93-class iteration)
     # at a precision still far above the damping-retry noise floor; the
     # f64 polish phase recovers full precision regardless.
-    damping: str = "additive"              # "additive" | "marquardt": LM
-    # damping model. "additive" is the reference's mu*I (update_UV.cl,
-    # levmar.cpp:126) seeded at tau*max(diag) (levmar.cpp:113-120).
-    # "marquardt" damps each diagonal multiplicatively (mu*diag(H), seeded
-    # at plain tau) — scale-invariant, the standard choice for problems
-    # whose Hessian diagonal spans many orders of magnitude (real BAL
-    # cameras reach diag ratios ~1e20, where additive damping in f32
-    # either overflows or underflows the gain). No reference counterpart
-    # (framework extension); TR always damps additively as the reference
-    # does.
+    damping: str = "auto"                  # "auto" | "additive" |
+    # "marquardt": LM damping model. "additive" is the reference's mu*I
+    # (update_UV.cl, levmar.cpp:126) seeded at tau*max(diag)
+    # (levmar.cpp:113-120). "marquardt" damps each diagonal
+    # multiplicatively (mu*diag(H), seeded at plain tau) —
+    # scale-invariant, the standard choice for problems whose Hessian
+    # diagonal spans many orders of magnitude (real BAL cameras reach
+    # diag ratios ~1e26, where additive damping silently aborts: mu =
+    # tau*max(diag) drives the first step under the dp-small stop with
+    # the error still at its initial value). "auto" (default) resolves
+    # to one of the two per problem via `resolve_damping` before
+    # tracing: additive (exact reference parity) unless the measured
+    # diagonal dynamic range would round the smallest diagonal away in
+    # the working precision. Solvers require a resolved mode; "marquardt"
+    # has no reference counterpart (framework extension); TR always
+    # damps additively as the reference does.
 
     @classmethod
     def for_dtype(cls, dtype, **overrides) -> "SolverConfig":
@@ -71,6 +77,71 @@ class SolverConfig(NamedTuple):
         else:
             base = cls()
         return base._replace(**overrides) if overrides else base
+
+
+def resolve_damping(cfg: SolverConfig, pa: "ProblemArrays", cams, pts,
+                    ctx=None) -> SolverConfig:
+    """Resolve damping="auto" to a concrete mode from the measured
+    Hessian-diagonal dynamic range (one Jacobian probe, jitted).
+
+    Criterion (precision-motivated, not curve-fit): additive damping
+    seeds mu = tau * max(diag JtJ) (levmar.cpp:115) and adds it to EVERY
+    diagonal. In the working precision, a diagonal d is erased entirely
+    by `d + mu` once mu/d > 1/eps — the damped system then has no memory
+    of that direction's curvature, the first step collapses below the
+    dp-small stop (levmar.cpp:169-173), and the run "converges" at its
+    starting point. So: additive while
+
+        tau * max(diag)/min(diag>0)  <  1 / eps(dtype)
+
+    and scale-invariant Marquardt damping beyond. Measured dynamic
+    ranges on the bundled ladder (f32, tau=1e-3, limit ratio 8.4e9):
+    trafalgar21 4.2e8, ladybug138 2.4e9 (additive, converge) vs
+    venice52 1.1e10, dubrovnik88 1.3e26 (additive stalls at iteration
+    1-2; marquardt converges — RESULTS.json r4).
+
+    When marquardt is selected, the LM->TR switch is also disabled
+    (lm_switch_count pushed past max_iters): the reference's TR phase
+    damps additively (trust_region.cpp:126) and would re-enter the same
+    failure.
+
+    With a mesh context, pa/pts hold the local point shard: camera
+    diagonals are psummed, and the global min/max ride pmax.
+    """
+    if cfg.damping != "auto":
+        return cfg
+
+    import jax
+
+    from psba_tpu.core.jacobian import jacobians
+    from psba_tpu.parallel.ctx import NO_MESH
+
+    ctx = ctx or NO_MESH
+    dtype = np.dtype(cams.dtype)
+    n_c, n_p = pa.K.shape[0], pts.shape[0]
+
+    @jax.jit
+    def _minmax(K, q0, cams, pts, cam_idx, pt_idx, valid):
+        A, B = jacobians(K, q0, cams, pts, cam_idx, pt_idx,
+                         clamp=cfg.clamp_quat)
+        w = 1.0 if valid is None else valid[:, None].astype(A.dtype)
+        dU = jax.ops.segment_sum((A * A).sum(1) * w, cam_idx, n_c)
+        dV = jax.ops.segment_sum((B * B).sum(1) * w, pt_idx, n_p)
+        dU = ctx.psum(dU)  # cameras are replicated across point shards
+        d = jnp.concatenate([dU.reshape(-1), dV.reshape(-1)])
+        mx = ctx.pmax(jnp.max(d))
+        mn = -ctx.pmax(-jnp.min(jnp.where(d > 0, d, jnp.inf)))
+        return mx, mn
+
+    mx, mn = _minmax(pa.K, pa.q0, cams, pts, pa.cam_idx, pa.pt_idx,
+                     pa.valid)
+    ratio = float(mx) / max(float(mn), np.finfo(dtype).tiny)
+    if cfg.tau * ratio < 1.0 / np.finfo(dtype).eps:
+        return cfg._replace(damping="additive")
+    return cfg._replace(
+        damping="marquardt",
+        lm_switch_count=max(cfg.lm_switch_count, cfg.max_iters + 1),
+    )
 
 
 class ProblemArrays(NamedTuple):

@@ -149,3 +149,23 @@ def test_golden_f32_pallas_backend(name):
         dtype=jnp.float32,
     )
     assert res.final_error <= 1.10 * g["final_error"]
+
+
+def test_f32_tight_gate_non_gauge_singular():
+    """Tight f32 gate on a well-conditioned fixture: unlike the bundled
+    small sets (5cams is gauge-singular and f32-chaotic, see F32_GAP),
+    a synthetic ring with redundant observations has one well-separated
+    optimum, and the f32 fast path lands within ~6e-7 relative of the
+    f64 optimum (measured across seeds). rtol 1e-4 leaves margin for
+    platform/summation-order variation while still catching any real
+    f32-path numerics regression that the wide 10%/4.5x sanity gates
+    would absorb."""
+    import jax.numpy as jnp
+
+    from psba_tpu.io import synthetic_problem
+
+    prob = synthetic_problem(n_cams=8, n_pts=400, seed=3, noise_px=0.5)
+    r64 = solve(prob)
+    r32 = solve(prob, SolverConfig.for_dtype(jnp.float32),
+                dtype=jnp.float32)
+    np.testing.assert_allclose(r32.final_error, r64.final_error, rtol=1e-4)

@@ -138,3 +138,103 @@ def test_marquardt_damping_converges(prob7):
         dtype=jnp.float32,
     )
     np.testing.assert_allclose(r32.final_error, ref.final_error, rtol=1e-3)
+
+
+def _mixed_scale_problem():
+    """Synthetic ring with half the cameras' focal lengths (and their
+    observations, consistently) scaled by 1e6: diag(JtJ) dynamic range
+    ~1e12, the regime where real BAL sets (venice52 ratio 1.1e10,
+    dubrovnik88 1.3e26) silently stall under f32 additive damping."""
+    import dataclasses
+
+    from psba_tpu.io import synthetic_problem
+
+    prob = synthetic_problem(n_cams=6, n_pts=120, seed=3)
+    K = prob.K.copy()
+    obs = prob.obs.copy()
+    scale = 1e6
+    for c in range(prob.n_cams // 2):
+        m = prob.cam_idx == c
+        obs[m, 0] = (obs[m, 0] - K[c, 1]) * scale + K[c, 1]
+        obs[m, 1] = (obs[m, 1] - K[c, 2]) * scale + K[c, 2]
+        K[c, 0] *= scale
+    return dataclasses.replace(prob, K=K, obs=obs)
+
+
+def test_auto_damping_resolution(prob7):
+    """damping="auto" resolves additive on well-scaled problems (exact
+    reference parity) and marquardt when tau * diag-ratio exceeds
+    1/eps(dtype) — the point where `d + mu` erases the smallest
+    diagonal entirely in the working precision."""
+    import jax.numpy as jnp
+
+    from psba_tpu.solvers.types import (
+        ProblemArrays,
+        SolverConfig,
+        resolve_damping,
+    )
+
+    cfg = SolverConfig.for_dtype(jnp.float32)
+    assert cfg.damping == "auto"
+
+    pa7 = ProblemArrays.from_problem(prob7, dtype=jnp.float32)
+    r7 = resolve_damping(
+        cfg, pa7, jnp.asarray(prob7.cams, jnp.float32),
+        jnp.asarray(prob7.pts, jnp.float32),
+    )
+    assert r7.damping == "additive"
+
+    mixed = _mixed_scale_problem()
+    pam = ProblemArrays.from_problem(mixed, dtype=jnp.float32)
+    rm = resolve_damping(
+        cfg, pam, jnp.asarray(mixed.cams, jnp.float32),
+        jnp.asarray(mixed.pts, jnp.float32),
+    )
+    assert rm.damping == "marquardt"
+    # the LM->TR switch must be disabled with it: TR damps additively
+    # (trust_region.cpp:126) and would re-enter the same failure
+    assert rm.lm_switch_count > rm.max_iters
+
+    # in float64 the same ratio is representable: parity additive stays
+    r64 = resolve_damping(
+        SolverConfig.for_dtype(jnp.float64), pam,
+        jnp.asarray(mixed.cams), jnp.asarray(mixed.pts),
+    )
+    assert r64.damping == "additive"
+
+
+@requires_data
+def test_default_config_converges_on_mixed_scale_f32():
+    """The DEFAULT config must make real progress on a BAL-scaled f32
+    problem (VERDICT r4 weak #4: additive mu = tau*max(diag U) ~ 1e20
+    used to drive the first step under the dp-small stop, so the run
+    'converged' at its starting point unless the user knew to pass
+    --damping marquardt).
+
+    Fixture: the real Dubrovnik-88 cameras (diag ratio 1.3e26, the
+    worst-scaled bundled set) with a small synthesized point cloud —
+    the same construction datasets.load("dubrovnik88") uses at full
+    size (its points file is not bundled, main.cpp:40-59)."""
+    import jax.numpy as jnp
+
+    from psba_tpu.io.synthetic import synthesize_points_for_cams
+    from psba_tpu.solvers.hybrid import solve
+    from psba_tpu.solvers.types import SolverConfig
+    from tests.conftest import DATA
+
+    prob = synthesize_points_for_cams(
+        f"{DATA}/Dubrovnik-88-64298-cams.txt", n_pts=2500, seed=0
+    )
+    res = solve(prob, dtype=jnp.float32)  # config defaulted -> auto
+    assert res.final_error < 0.3 * res.initial_error, (
+        res.initial_error, res.final_error, res.flag_name,
+    )
+
+    # the failure mode auto exists to avoid, pinned: explicit additive
+    # stops almost immediately with the error still at its initial value
+    bad = solve(
+        prob, SolverConfig.for_dtype(jnp.float32, damping="additive"),
+        dtype=jnp.float32,
+    )
+    assert bad.iterations <= 3
+    assert bad.final_error > 0.9 * bad.initial_error

@@ -139,3 +139,18 @@ def test_roofline_summarize_rejects_invalid_measurement():
         summarize(21, 11315, 36455, 0.0)
     out = summarize(21, 11315, 36455, 0.25)
     assert out["mfu"] > 0 and out["hbm_frac"] > 0 and out["sol_frac"] > 0
+
+
+def test_checkpoint_point_order_mismatch_rejected(prob_synth, tmp_path):
+    """A checkpoint stores pts in the solver's INTERNAL order (tile-
+    clustered on dense runs). Resuming it under a different order would
+    silently scramble the points while still 'converging'; the order
+    marker must reject the mismatch instead."""
+    import pytest
+
+    d = str(tmp_path / "ck")
+    solve(prob_synth, SolverConfig(max_iters=3), schur="pairs",
+          checkpoint_dir=d)
+    with pytest.raises(ValueError, match="order"):
+        solve(prob_synth, SolverConfig(max_iters=6), schur="dense",
+              checkpoint_dir=d)
