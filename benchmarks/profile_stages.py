@@ -1,13 +1,21 @@
 """Per-stage TPU device-time profile of one LM iteration's compute pieces.
 
-Not part of the benchmark contract (bench.py is); this is a developer tool
-to find the next hotspot. Per-dispatch RPC overhead (tens of ms through a
-tunneled device) swamps single-op timing, so each stage is measured by the
-MARGINAL method: run it N1 and N2 times inside an on-device `lax.fori_loop`
-and report (t(N2) - t(N1)) / (N2 - N1). A data-dependent perturbation is
-threaded through the loop carry so XLA cannot hoist the body.
+Not part of the benchmark contract (bench.py is); this is the developer
+tool behind PROFILE_r05.json — each dense3 pipeline stage measured against
+its roofline cost (psba_tpu.utils.roofline.lm_stage_costs). Per-dispatch
+RPC overhead (tens of ms through a tunneled device) swamps single-op
+timing, so each stage runs k times inside an on-device `lax.fori_loop`
+(dynamic trip count: one compile per stage) and the per-call time is the
+noise-guarded marginal (benchmarks.measure.marginal_iter_ms): k2
+escalates until the window clears 10x the observed timer jitter. A
+data-dependent perturbation is threaded through the loop carry so XLA
+cannot hoist the body.
+
+    python benchmarks/profile_stages.py [--out PROFILE_r05.json]
 """
 
+import argparse
+import json
 import os
 import sys
 import time
@@ -19,6 +27,7 @@ sys.path.insert(
 import jax
 import jax.numpy as jnp
 
+from benchmarks.measure import marginal_iter_ms
 from psba_tpu.core.linalg import spd_solve
 from psba_tpu.core.schur import (
     back_substitute_dense3,
@@ -30,39 +39,47 @@ from psba_tpu.core.schur import (
 from psba_tpu.io import load_problem
 from psba_tpu.ops.linearize_dense import linearize_dense_pallas
 from psba_tpu.ops.linearize_pallas import linearize_pallas, residual_l2_pallas
+from psba_tpu.ops.residual_dense import gain_dense_pallas
 from psba_tpu.solvers.types import ProblemArrays
 
-N1, N2 = 4, 24
+
+def stage_call(make_body, seed):
+    """Bind a stage into the call(k)->seconds shape marginal_iter_ms
+    consumes: k back-to-back stage executions in one dispatch."""
+
+    @jax.jit
+    def loop(n, eps):
+        def body(_, e):
+            return make_body(e) * 1e-30 + eps
+
+        return jax.lax.fori_loop(0, n, body, eps)
+
+    def call(k):
+        t0 = time.perf_counter()
+        float(loop(jnp.int32(k), seed))
+        return time.perf_counter() - t0
+
+    return call
 
 
-def marginal_ms(make_body, seed):
-    """make_body(eps) -> scalar; eps is a data-dependent f32 scalar."""
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
 
-    def timed(n):
-        def loop(eps):
-            def body(_, e):
-                return make_body(e) * 1e-30 + eps
-            return jax.lax.fori_loop(0, n, body, eps)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
-        fn = jax.jit(loop)
-        out = fn(seed)
-        float(out)  # warm + sync
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(fn(seed))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    return (timed(N2) - timed(N1)) / (N2 - N1) * 1e3
-
-
-def main():
     data = "/root/reference/data"
     prob = load_problem(
         f"{data}/Trafalgar-21-11315-cams.txt",
         f"{data}/Trafalgar-21-11315-pts.txt",
     )
+    prob, _ = prob.with_tile_point_order()  # what hybrid.solve runs
     dtype = jnp.float32
     pa = ProblemArrays.from_problem(prob, dtype=dtype)
     cams = jnp.asarray(prob.cams, dtype)
@@ -71,12 +88,9 @@ def main():
     seed = jnp.asarray(0.0, dtype)
 
     # materialize intermediates once (planar dense3 pipeline, solvers/lm.py)
-    ex, l2, U, _, _, ga, _, _, _ = linearize_pallas(
-        pa.K, pa.q0, cams, pts, pa.obs, pa.cam_idx, pa.pt_idx, pa.valid,
-        C, P, want_point=False, want_w=False,
-    )
-    ZW0, ZW1, ZW2, Vp0, gbp3, _Pp = linearize_dense_pallas(
-        pa.K, pa.q0, cams, pts, pa.obs_du, pa.obs_dv, pa.valid_d
+    ZW0, ZW1, ZW2, Vp0, gbp3, _Pp, U, ga = linearize_dense_pallas(
+        pa.K, pa.q0, cams, pts, pa.obs_du, pa.obs_dv, pa.valid_d,
+        want_u=True, tile_mask=pa.tile_mask,
     )
     ZW3 = (ZW0, ZW1, ZW2)
     mu = jnp.asarray(1e-3, dtype)
@@ -89,17 +103,12 @@ def main():
     dpa = dpa_flat.reshape(C, 6)
 
     stages = {
-        "linearize_pallas": lambda e: linearize_pallas(
-            pa.K, pa.q0, cams + e, pts, pa.obs, pa.cam_idx, pa.pt_idx,
-            pa.valid, C, P, want_point=False, want_w=False,
-        )[1],
+        # the one dense-grid kernel per outer iteration (ZW/V/gb + U/ga)
         "linearize_dense": lambda e: jnp.sum(linearize_dense_pallas(
             pa.K, pa.q0, cams + e, pts, pa.obs_du, pa.obs_dv, pa.valid_d,
+            want_u=True, tile_mask=pa.tile_mask,
         )[0]),
-        "residual_l2_pallas": lambda e: residual_l2_pallas(
-            pa.K, pa.q0, cams + e, pts, pa.obs, pa.cam_idx, pa.pt_idx,
-            pa.valid,
-        )[1],
+        # per damping retry
         "inv3x3": lambda e: jnp.sum(inv3x3_planar3(Vp_d + e)[0]),
         "schur_S_dense": lambda e: jnp.sum(
             schur_S_dense3(U_d, (ZW0 + e, ZW1, ZW2), Vinv3)[0]
@@ -111,27 +120,68 @@ def main():
         "back_substitute": lambda e: jnp.sum(
             back_substitute_dense3(gbp3, ZW3, Vinv3, dpa + e)
         ),
+        "gain_dense": lambda e: gain_dense_pallas(
+            pa.K, pa.q0, cams + e, pts, cams, pts, pa.obs_du, pa.obs_dv,
+            pa.valid_d, tile_mask=pa.tile_mask,
+        )[0],
         "damp_uv": lambda e: jnp.sum(damp_v_planar(Vp0, mu + e)),
+        # obs-stream kernels (pairs/non-dense3 paths, for comparison)
+        "linearize_pallas": lambda e: linearize_pallas(
+            pa.K, pa.q0, cams + e, pts, pa.obs, pa.cam_idx, pa.pt_idx,
+            pa.valid, C, P, want_point=False, want_w=False,
+        )[1],
+        "residual_l2_pallas": lambda e: residual_l2_pallas(
+            pa.K, pa.q0, cams + e, pts, pa.obs, pa.cam_idx, pa.pt_idx,
+            pa.valid,
+        )[1],
     }
-    from psba_tpu.utils.roofline import lm_stage_costs, V5E
+    from psba_tpu.utils.roofline import V5E, lm_stage_costs
 
     costs = lm_stage_costs(C, P, pa.n_obs)
+    rows = []
     total = 0.0
     print(f"{'stage':22s} {'measured':>10s} {'roofline':>10s} "
-          f"{'%SoL':>6s}  bound")
+          f"{'%SoL':>6s}  bound", file=sys.stderr)
     for name, body in stages.items():
-        ms = marginal_ms(body, seed)
-        total += ms
+        call = stage_call(body, seed)
+        ms, diag = marginal_iter_ms(call, 1, k1=8, k_max=8192)
+        row = {"stage": name, "measured_ms": None if ms is None
+               else round(ms, 5), "timing": diag}
         c = costs.get(name) or costs.get(name + "_dense")
         if c is not None:
-            sol = c.ms(V5E)
-            pct = 100.0 * sol / ms if ms > 0 else 0.0
-            print(f"{name:22s} {ms:8.4f} ms {sol:8.4f} ms {pct:5.1f}%"
-                  f"  {c.bound(V5E)}")
-        else:
-            print(f"{name:22s} {ms:8.4f} ms {'—':>10s}")
-    print(f"{'SUM':22s} {total:8.4f} ms")
+            row["roofline_ms"] = round(c.ms(V5E), 5)
+            row["bound"] = c.bound(V5E)
+            if ms is not None:
+                row["sol_frac"] = round(c.ms(V5E) / ms, 4)
+        rows.append(row)
+        if ms is not None and not name.endswith("_pallas"):
+            total += ms
+        mss = "   <floor" if ms is None else f"{ms:8.4f} ms"
+        sol = (f"{row.get('roofline_ms', 0):8.4f} ms "
+               f"{100 * row.get('sol_frac', 0):5.1f}%  "
+               f"{row.get('bound', '')}" if c is not None else "")
+        print(f"{name:22s} {mss} {sol}", file=sys.stderr)
+    print(f"{'SUM (dense3 stages)':22s} {total:8.4f} ms", file=sys.stderr)
+
+    out = {
+        "dataset": "trafalgar21",
+        "C": C, "P": P, "O": pa.n_obs,
+        "device": str(jax.devices()[0]),
+        "note": (
+            "per-stage device time, repeats-marginal with 10x noise "
+            "guard; 'SUM' counts each dense3 stage once (one outer "
+            "linearize + one retry chain + one gain); the whole-solver "
+            "bench (BENCH_r05) is the contract number"
+        ),
+        "sum_dense3_ms": round(total, 4),
+        "rows": rows,
+    }
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

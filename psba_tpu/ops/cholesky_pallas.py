@@ -5,32 +5,44 @@ TPU-native replacement for the reference's SPD pipeline
 self-enqueueing 3x3-blocked kernels (kern_cholesky / _s2) so control stays
 on the device; XLA's equivalent (lax.linalg.cholesky + two triangular
 solves) lowers to a while-loop of O(6C) *separate* device ops, whose
-per-op sequencing overhead — not flops or bytes — is the measured limiter
+per-op sequencing overhead — not flops or bytes — was the measured limiter
 of the whole LM iteration (BENCH_r03: 0.891 ms measured vs 0.185 ms
 roofline, `bound: latency`, seq_steps 126). This kernel runs the entire
-factor-forward-backward chain as TWO fori_loops inside ONE Pallas kernel:
-the sequential dependency stays (Cholesky columns are inherently ordered)
-but each step costs a handful of VPU/MXU instructions on VMEM-resident
-data instead of a dispatched XLA op.
+factor-forward-backward chain as TWO fori_loops inside ONE Pallas kernel.
+
+Round-5 blocking (PROFILE_r05: the round-4 column-at-a-time version
+measured 0.060 ms for n=126 vs a 0.0002 ms roofline — pure per-step
+latency): columns are eliminated in panels of PANEL=8. One fori step now
+factors 8 columns on an in-register [8, Np] panel (the full-width rows
+j..j+7 of the symmetric working matrix), applies ONE rank-8 MXU trailing
+update M -= C^T C (instead of 8 full-matrix rank-1 passes), and the
+backward pass consumes L^T rows directly as dot products (x_j = (y_j -
+Lr[j,:]·x) * dinv_j) — no per-column MXU transpose, no materialized
+identity operand, no final L transpose. Sequential dependencies are
+unchanged (Cholesky columns are inherently ordered); what drops ~8x is
+the loop-step count and the full-matrix VPU traffic.
 
 Algorithm (all row-oriented — column extraction is a strided access on
 the TPU's (sublane, lane) layout, so the working matrix is kept symmetric
 and column j is read as row j):
 
-  factor+forward, j = 0..n-1 (one fori_loop):
-    d    = M[j, j]                    (mask+reduce on row j)
-    c    = M[j, :] * rsqrt(d)         (= column j of L, as a row)
-    M   -= outer(c, c)                (symmetric rank-1; keeps M symmetric,
-                                       zeroes row/col j)
-    Lr[:, j] = c^T                    (L in row-major, for the backward
-                                       pass; transpose via one [Np,Np]x
-                                       [Np,1] MXU product with I)
-    y_j  = r[j] * rsqrt(d);  r -= y_j * c      (forward solve fused)
+  factor+forward, one fori step per 8-column panel:
+    panel = M[j0:j0+8, :]             (full-width rows of symmetric M)
+    for k in 0..7 (unrolled):
+      j    = j0 + k
+      d    = panel[k, j]              (mask+reduce on panel row k)
+      c_k  = panel[k, :] * rsqrt(d)   (= column j of L, as a row)
+      panel -= cvals * c_k            (cvals[m] = c_k[j0+m]: the rank-1
+                                       restricted to the in-flight rows)
+      y_j  = r[j] * rsqrt(d); r -= y_j * c_k     (forward solve fused)
+    Lr[j0:j0+8, :] = C                (rows j of Lr = column j of L = row
+                                       j of L^T)
+    M -= C^T @ C                      (one [Np,8]x[8,Np] MXU product)
 
-  backward, j = n-1..0 (second fori_loop):
-    x_j  = s[j] * rsqrt(d_j);  s -= x_j * Lr[j, :]   (row j of L carries
-                                       L[j, i] = coefficient of x_j in
-                                       equation i < j)
+  backward, one fori step per panel, j = n-1..0 inside:
+    x_j = (y_j - Lr[j, :] . x) * dinv_j     (x holds lanes > j only, so
+                                       the dot needs no mask; L^T row j
+                                       IS the coefficient row of x_j)
 
 Failure contract matches kern_cholesky's ret flag (SPD_inv.cl:66-75 uses
 isfinite checks): ok accumulates (d > 0 & finite) over real columns; on
@@ -38,8 +50,10 @@ failure x contains garbage and the caller escalates damping exactly as it
 does for the XLA path (core.linalg.spd_solve).
 
 Padding: S is embedded in an [Np, Np] identity (Np = next multiple of
-128), so padded columns factor as d = 1 and contribute nothing; b pads
-with zeros. f32 only (Mosaic); the f64/CPU path stays on XLA.
+128), so padded columns factor as d = 1 and contribute nothing (their
+forward/backward scalars are exactly 0); the panel sweep therefore runs
+over ceil(n/8)*8 columns without a tail case. b pads with zeros. f32
+only (Mosaic); the f64/CPU path stays on XLA.
 """
 
 from __future__ import annotations
@@ -51,9 +65,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM footprint is 2 * Np^2 floats (working matrix + row-major L);
-# 1024 -> 8 MB, comfortably inside one core's ~16 MB
+# VMEM budget at the cap, all [Np, Np] f32 buffers counted: S input block
+# + M working copy + Lr rows-of-L^T = 3 * Np^2 * 4 B. Np=1024 -> 12 MB,
+# inside one v5e core's ~16 MB with room for the [8, Np] panel and [1, Np]
+# vectors (the round-4 version additionally materialized an [Np, Np]
+# identity MXU operand; this one does not). Verified to compile and run
+# on TPU v5e at n=1024 (tests/test_linalg.py::test_pallas_cap_shape
+# covers the shape; the TPU run is in PROFILE_r05.json's methodology).
 MAX_N = 1024
+PANEL = 8
 
 
 def _interpret() -> bool:
@@ -63,63 +83,69 @@ def _interpret() -> bool:
 def _chol_kernel(S_ref, b_ref, x_ref, ok_ref, M_ref, Lr_ref, *, n, Np):
     f32 = jnp.float32
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+    psub = jax.lax.broadcasted_iota(jnp.int32, (PANEL, 1), 0)
 
     M_ref[...] = S_ref[...]
-    Lr_ref[...] = jnp.zeros((Np, Np), f32)   # rows >= n stay zero
-    ident = (
-        jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
-    ).astype(f32)
+    n_panels = (n + PANEL - 1) // PANEL  # padded cols factor harmlessly
 
-    def fwd_body(j, carry):
+    def fwd_body(p, carry):
         r, y, dinv, ok = carry
-        onehot = (lane == j).astype(f32)
-        row = M_ref[pl.ds(j, 1), :]                    # [1, Np]
-        d = jnp.sum(row * onehot)
-        ok = ok & (d > 0.0) & jnp.isfinite(d)
-        inv_sq = jax.lax.rsqrt(d)
-        c = jnp.where(lane >= j, row * inv_sq, 0.0)    # col j of L, as row
-        # c^T via one MXU product with I (a dynamic-column store/load is a
-        # strided access Mosaic rejects; every column access in this
-        # kernel is realized as row ops + this product)
-        c_col = jax.lax.dot_general(
-            ident, c, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        )                                              # [Np, 1]
-        M_ref[...] = M_ref[...] - c_col * c            # symmetric rank-1
-        Lr_ref[pl.ds(j, 1), :] = c                     # row j of L^T
-        # forward substitution on the fly: y_j = r_j / L_jj
-        yj = jnp.sum(r * onehot) * inv_sq
-        r = r - yj * c
-        y = y + yj * onehot
-        dinv = dinv + inv_sq * onehot
+        j0 = p * PANEL
+        panel = M_ref[pl.ds(j0, PANEL), :]             # [PANEL, Np]
+        crows = []
+        for k in range(PANEL):
+            j = j0 + k
+            onehot = (lane == j).astype(f32)           # [1, Np]
+            row = panel[k:k + 1, :]
+            d = jnp.sum(row * onehot)
+            ok = ok & (d > 0.0) & jnp.isfinite(d)
+            inv_sq = jax.lax.rsqrt(d)
+            c = jnp.where(lane >= j, row * inv_sq, 0.0)  # col j of L
+            # restrict the rank-1 update to the in-flight panel rows:
+            # cvals[m] = c[j0 + m] (rows m <= k are already factored and
+            # see a zero coefficient, matching the full-matrix update)
+            cvals = jnp.sum(
+                panel * (onehot * inv_sq) * (psub > k).astype(f32),
+                axis=1, keepdims=True,
+            )                                          # [PANEL, 1]
+            panel = panel - cvals * c
+            crows.append(c)
+            # forward substitution on the fly: y_j = r_j / L_jj
+            yj = jnp.sum(r * onehot) * inv_sq
+            r = r - yj * c
+            y = y + yj * onehot
+            dinv = dinv + inv_sq * onehot
+        C = jnp.concatenate(crows, axis=0)             # [PANEL, Np]
+        Lr_ref[pl.ds(j0, PANEL), :] = C                # rows of L^T
+        # one rank-PANEL MXU trailing update: M -= C^T C
+        M_ref[...] = M_ref[...] - jax.lax.dot_general(
+            C, C, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        )
         return r, y, dinv, ok
 
     r0 = b_ref[...]
     zero = jnp.zeros((1, Np), f32)
     _, y, dinv, ok = jax.lax.fori_loop(
-        0, n, fwd_body, (r0, zero, zero, jnp.bool_(True))
+        0, n_panels, fwd_body, (r0, zero, zero, jnp.bool_(True))
     )
 
-    # Lr currently holds L^T (row j = column j of L); the backward pass
-    # needs rows of L. One MXU product with I transposes it in place:
-    # (I @ Lr^T)[a, b] = Lr[b, a].
-    Lr_ref[...] = jax.lax.dot_general(
-        ident, Lr_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )
+    def bwd_body(i, x):
+        p = n_panels - 1 - i
+        j0 = p * PANEL
+        Lblk = Lr_ref[pl.ds(j0, PANEL), :]             # [PANEL, Np]
+        for k in reversed(range(PANEL)):
+            j = j0 + k
+            onehot = (lane == j).astype(f32)
+            lrow = Lblk[k:k + 1, :]
+            # x holds solved lanes > j only (zeros elsewhere), so the
+            # back-substitution dot L^T[j, :] . x needs no mask
+            xj = (jnp.sum(y * onehot) - jnp.sum(lrow * x)) * jnp.sum(
+                dinv * onehot
+            )
+            x = x + xj * onehot
+        return x
 
-    def bwd_body(i, carry):
-        s, x = carry
-        j = n - 1 - i
-        onehot = (lane == j).astype(f32)
-        xj = jnp.sum(s * onehot) * jnp.sum(dinv * onehot)
-        lrow = Lr_ref[pl.ds(j, 1), :]                  # L[j, i] over i
-        s = s - xj * jnp.where(lane < j, lrow, 0.0)
-        x = x + xj * onehot
-        return s, x
-
-    _, x = jax.lax.fori_loop(0, n, bwd_body, (y, zero))
+    x = jax.lax.fori_loop(0, n_panels, bwd_body, zero)
     x_ref[...] = x
     ok_ref[0, 0] = ok.astype(jnp.int32)
 

@@ -50,3 +50,22 @@ def test_spd_solve_pallas_badly_scaled():
     np.testing.assert_allclose(
         np.asarray(x), ref, atol=1e-3 * np.max(np.abs(ref))
     )
+
+
+def test_pallas_cap_shape():
+    """The MAX_N=1024 cap shape must stay solvable (interpret mode here;
+    the same shape is verified Mosaic-compiled on TPU v5e — VMEM budget
+    3*Np^2 f32 = 12 MB, see the module docstring's accounting). Guards
+    the cap against a kernel change that silently raises the footprint
+    past what BAL camera counts like Ladybug-1723-subsets need."""
+    from psba_tpu.ops.cholesky_pallas import MAX_N
+
+    n = MAX_N
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    S = A @ A.T + n * np.eye(n, dtype=np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    x, ok = spd_solve_pallas(jnp.asarray(S), jnp.asarray(b))
+    assert bool(ok)
+    resid = np.linalg.norm(S @ np.asarray(x, np.float64) - b)
+    assert resid / np.linalg.norm(b) < 1e-2
