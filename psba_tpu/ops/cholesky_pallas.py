@@ -12,37 +12,29 @@ factor-forward-backward chain as TWO fori_loops inside ONE Pallas kernel.
 
 Round-5 blocking (PROFILE_r05: the round-4 column-at-a-time version
 measured 0.060 ms for n=126 vs a 0.0002 ms roofline — pure per-step
-latency): columns are eliminated in panels of PANEL=8. One fori step now
-factors 8 columns on an in-register [8, Np] panel (the full-width rows
-j..j+7 of the symmetric working matrix), applies ONE rank-8 MXU trailing
-update M -= C^T C (instead of 8 full-matrix rank-1 passes), and the
-backward pass consumes L^T rows directly as dot products (x_j = (y_j -
-Lr[j,:]·x) * dinv_j) — no per-column MXU transpose, no materialized
-identity operand, no final L transpose. Sequential dependencies are
-unchanged (Cholesky columns are inherently ordered); what drops ~8x is
-the loop-step count and the full-matrix VPU traffic.
-
-Algorithm (all row-oriented — column extraction is a strided access on
-the TPU's (sublane, lane) layout, so the working matrix is kept symmetric
-and column j is read as row j):
-
-  factor+forward, one fori step per 8-column panel:
-    panel = M[j0:j0+8, :]             (full-width rows of symmetric M)
-    for k in 0..7 (unrolled):
-      j    = j0 + k
-      d    = panel[k, j]              (mask+reduce on panel row k)
-      c_k  = panel[k, :] * rsqrt(d)   (= column j of L, as a row)
-      panel -= cvals * c_k            (cvals[m] = c_k[j0+m]: the rank-1
-                                       restricted to the in-flight rows)
-      y_j  = r[j] * rsqrt(d); r -= y_j * c_k     (forward solve fused)
-    Lr[j0:j0+8, :] = C                (rows j of Lr = column j of L = row
-                                       j of L^T)
-    M -= C^T @ C                      (one [Np,8]x[8,Np] MXU product)
-
-  backward, one fori step per panel, j = n-1..0 inside:
-    x_j = (y_j - Lr[j, :] . x) * dinv_j     (x holds lanes > j only, so
-                                       the dot needs no mask; L^T row j
-                                       IS the coefficient row of x_j)
+latency, ~470 ns/column of cross-lane scalar round-trips): columns are
+eliminated in panels of PANEL=8, and every per-column scalar the
+algorithm needs comes out of ONE lane reduction. One fori step factors
+8 columns on an in-register [9, Np] panel — the 8 in-flight full-width
+rows of the symmetric working matrix with the forward-solve rhs r
+appended as a 9th row — so a single [9,Np]->[9,1] masked reduction per
+column yields the pivot d (row k), all in-panel rank-1 coefficients
+(rows k+1..7) and r_j (row 8) at once, and the panel update
+`panel9 -= (vals*rsqrt(d)*mask) * c` advances the factorization AND the
+forward substitution in one [9, Np] op. The trailing update is ONE
+rank-8 MXU product M -= C^T C per panel (instead of 8 full-matrix
+rank-1 passes). The backward pass is blocked the same way: per panel,
+one masked reduction each for the out-of-block dots Lr[j,:].x, y and
+dinv at the block lanes, one MXU product for the in-block coupling
+resT[a,b] = L^T[j0+a, j0+b], then 8 unrolled [8,1]-register steps — no
+per-column MXU transpose, no materialized identity operand, no final L
+transpose. Sequential dependencies are unchanged (Cholesky columns are
+inherently ordered); what drops is the count of cross-lane round trips
+per column (~4 -> 1) and the full-matrix VPU traffic (measured 0.060 ->
+0.040 ms at n=126; accuracy IMPROVES to ~3e-7 rel residual because the
+in-register panel arithmetic is exact f32 and both MXU products run
+Precision.HIGHEST — Mosaic's default dot precision is bf16 passes,
+which cost 3 decimal digits here).
 
 Failure contract matches kern_cholesky's ret flag (SPD_inv.cl:66-75 uses
 isfinite checks): ok accumulates (d > 0 & finite) over real columns; on
@@ -84,70 +76,93 @@ def _chol_kernel(S_ref, b_ref, x_ref, ok_ref, M_ref, Lr_ref, *, n, Np):
     f32 = jnp.float32
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
     psub = jax.lax.broadcasted_iota(jnp.int32, (PANEL, 1), 0)
+    psub9 = jax.lax.broadcasted_iota(jnp.int32, (PANEL + 1, 1), 0)
 
     M_ref[...] = S_ref[...]
     n_panels = (n + PANEL - 1) // PANEL  # padded cols factor harmlessly
 
     def fwd_body(p, carry):
-        r, y, dinv, ok = carry
+        r, y, dinv, okf = carry
         j0 = p * PANEL
-        panel = M_ref[pl.ds(j0, PANEL), :]             # [PANEL, Np]
+        # panel9 = the 8 in-flight full-width rows of symmetric M with
+        # the forward-solve rhs r appended as a 9th row: ONE lane
+        # reduction per column then yields the pivot d (row k), every
+        # in-panel rank-1 coefficient (rows k+1..7), and r_j (row 8) —
+        # the per-column cross-lane latency this kernel lives or dies by
+        panel9 = jnp.concatenate(
+            [M_ref[pl.ds(j0, PANEL), :], r], axis=0
+        )                                              # [PANEL+1, Np]
         crows = []
         for k in range(PANEL):
             j = j0 + k
             onehot = (lane == j).astype(f32)           # [1, Np]
-            row = panel[k:k + 1, :]
-            d = jnp.sum(row * onehot)
-            ok = ok & (d > 0.0) & jnp.isfinite(d)
-            inv_sq = jax.lax.rsqrt(d)
+            vals = jnp.sum(panel9 * onehot, axis=1, keepdims=True)
+            d = vals[k:k + 1, :]                       # [1, 1]
+            okf = jnp.minimum(
+                okf,
+                jnp.where((d > 0.0) & jnp.isfinite(d), 1.0, 0.0),
+            )
+            inv_sq = jax.lax.rsqrt(d)                  # [1, 1]
+            row = panel9[k:k + 1, :]
             c = jnp.where(lane >= j, row * inv_sq, 0.0)  # col j of L
-            # restrict the rank-1 update to the in-flight panel rows:
-            # cvals[m] = c[j0 + m] (rows m <= k are already factored and
-            # see a zero coefficient, matching the full-matrix update)
-            cvals = jnp.sum(
-                panel * (onehot * inv_sq) * (psub > k).astype(f32),
-                axis=1, keepdims=True,
-            )                                          # [PANEL, 1]
-            panel = panel - cvals * c
+            # one update for the remaining panel rows AND r: rows m<=k
+            # are already factored and see a zero coefficient (matching
+            # the full-matrix rank-1); row PANEL's coefficient is
+            # y_j = r_j / L_jj, i.e. the fused forward substitution
+            mask9 = ((psub9 > k) | (psub9 == PANEL)).astype(f32)
+            panel9 = panel9 - (vals * inv_sq * mask9) * c
             crows.append(c)
-            # forward substitution on the fly: y_j = r_j / L_jj
-            yj = jnp.sum(r * onehot) * inv_sq
-            r = r - yj * c
-            y = y + yj * onehot
+            y = y + (vals[PANEL:PANEL + 1, :] * inv_sq) * onehot
             dinv = dinv + inv_sq * onehot
+        r = panel9[PANEL:PANEL + 1, :]
         C = jnp.concatenate(crows, axis=0)             # [PANEL, Np]
         Lr_ref[pl.ds(j0, PANEL), :] = C                # rows of L^T
         # one rank-PANEL MXU trailing update: M -= C^T C
         M_ref[...] = M_ref[...] - jax.lax.dot_general(
             C, C, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        return r, y, dinv, ok
+        return r, y, dinv, okf
 
     r0 = b_ref[...]
     zero = jnp.zeros((1, Np), f32)
-    _, y, dinv, ok = jax.lax.fori_loop(
-        0, n_panels, fwd_body, (r0, zero, zero, jnp.bool_(True))
+    one1 = jnp.ones((1, 1), f32)
+    _, y, dinv, okf = jax.lax.fori_loop(
+        0, n_panels, fwd_body, (r0, zero, zero, one1)
     )
 
     def bwd_body(i, x):
         p = n_panels - 1 - i
         j0 = p * PANEL
         Lblk = Lr_ref[pl.ds(j0, PANEL), :]             # [PANEL, Np]
+        # batch the block's cross-lane work: x holds solved lanes >=
+        # j0+PANEL only, so `dots` carries the out-of-block back-
+        # substitution sums; tile8 (one-hot rows) gathers y/dinv at the
+        # block's lanes; resT[a, b] = L^T[j0+a, j0+b] is the in-block
+        # coupling, extracted with one MXU product
+        tile8 = (lane == (j0 + psub)).astype(f32)      # [PANEL, Np]
+        dots = jnp.sum(Lblk * x, axis=1, keepdims=True)
+        yv = jnp.sum(tile8 * y, axis=1, keepdims=True)
+        dv = jnp.sum(tile8 * dinv, axis=1, keepdims=True)
+        resT = jax.lax.dot_general(
+            Lblk, tile8, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+        )                                              # [PANEL, PANEL]
+        rem = yv - dots                                # [PANEL, 1]
+        xv = jnp.zeros((PANEL, 1), f32)
         for k in reversed(range(PANEL)):
-            j = j0 + k
-            onehot = (lane == j).astype(f32)
-            lrow = Lblk[k:k + 1, :]
-            # x holds solved lanes > j only (zeros elsewhere), so the
-            # back-substitution dot L^T[j, :] . x needs no mask
-            xj = (jnp.sum(y * onehot) - jnp.sum(lrow * x)) * jnp.sum(
-                dinv * onehot
-            )
-            x = x + xj * onehot
-        return x
+            xj = rem[k:k + 1, :] * dv[k:k + 1, :]      # [1, 1]
+            # rows a < k couple to x_j via U[j0+a, j0+k] = resT[:, k]
+            rem = rem - jnp.where(
+                psub < k, resT[:, k:k + 1], 0.0
+            ) * xj
+            xv = xv + jnp.where(psub == k, xj, 0.0)
+        # scatter the block's solutions into the lane vector
+        return x + jnp.sum(xv * tile8, axis=0, keepdims=True)
 
     x = jax.lax.fori_loop(0, n_panels, bwd_body, zero)
     x_ref[...] = x
-    ok_ref[0, 0] = ok.astype(jnp.int32)
+    ok_ref[0, 0] = (okf[0, 0] > 0.0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=())
