@@ -9,6 +9,18 @@ the BAL dataset names (e.g. Venice-52-64053 = 52 cameras, 64053 points).
 
 Results on synthesized sets measure performance and scaling; RMSE parity
 with the reference is only meaningful on the complete datasets.
+
+Awaiting real BAL points data (none is bundled or fetchable in this
+environment), these north-star claims remain OPEN and cannot be checked:
+  - matching PSBA's final reprojection RMSE on Dubrovnik-88 / Rome-93 /
+    Venice-52 (BASELINE.md targets table);
+  - iteration-for-iteration trajectory parity on those sets.
+The code path real data would take is proven:
+`psba_tpu.io.bal.bal_to_problem` reads the documented raw BAL layout and
+round-trips through the reference's text pair
+(tests/test_io.py::test_bal_roundtrip_mini_fixture on a checked-in
+miniature BAL fixture); timing/scaling numbers on the synthesized sets
+are real measurements of this framework either way.
 """
 
 from __future__ import annotations

@@ -273,7 +273,11 @@ def build_tile_mask(valid_d):
     of the [rows, 8, Pp/8] packing). Skipping masked-empty pairs is
     exact — their contribution is identically zero — and pays off when
     the point order clusters covisible points into few tiles
-    (BAProblem.with_tile_point_order)."""
+    (BAProblem.with_tile_point_order). Measured (KNOBS_r05.json,
+    trafalgar21 on v5e): clustering alone is time-neutral (0.226 vs
+    0.227 ms/LM-iter), clustering + mask saves ~3% (0.219 ms) — the
+    skip is kept because it is exact and its win grows with sparsity,
+    but on the bundled sets it is a small effect."""
     import numpy as np_
 
     vd = np_.asarray(valid_d)

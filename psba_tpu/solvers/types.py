@@ -42,9 +42,10 @@ class SolverConfig(NamedTuple):
     # the parity choice — the reference's OpenCL kernels multiply in
     # native f32, compute_S.cl:40-56). "high" = 3-pass bf16 (~2^-21 rel
     # error on the products): halves the dominant O(C^2 P) matmul cost
-    # at BAL camera counts (measured ~16% off a rome93-class iteration)
-    # at a precision still far above the damping-retry noise floor; the
-    # f64 polish phase recovers full precision regardless.
+    # at BAL camera counts. Measured (KNOBS_r05.json, rome93 C=93 on
+    # v5e): 11.34 -> 9.41 ms/LM-iter (-17%) with the fixed-work final
+    # L2 moving 9e-8 relative — far above the damping-retry noise
+    # floor; the f64 polish phase recovers full precision regardless.
     damping: str = "auto"                  # "auto" | "additive" |
     # "marquardt": LM damping model. "additive" is the reference's mu*I
     # (update_UV.cl, levmar.cpp:126) seeded at tau*max(diag)
