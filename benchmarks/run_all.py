@@ -201,8 +201,11 @@ def main(argv=None):
     import jax.numpy as jnp
 
     _enable_compile_cache()
-    if args.f64:
-        jax.config.update("jax_enable_x64", True)
+    # x64 must be enabled regardless of the row dtype: the f32 rows'
+    # polish companion (hybrid polish_iters) runs real float64, which
+    # would otherwise silently truncate to f32 and report a fake
+    # "polished" number
+    jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.f64 else jnp.float32
 
     rows = []

@@ -81,38 +81,60 @@ def _chol_kernel(S_ref, b_ref, x_ref, ok_ref, M_ref, Lr_ref, *, n, Np):
     M_ref[...] = S_ref[...]
     n_panels = (n + PANEL - 1) // PANEL  # padded cols factor harmlessly
 
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (1, PANEL), 1)
+
     def fwd_body(p, carry):
         r, y, dinv, okf = carry
         j0 = p * PANEL
         # panel9 = the 8 in-flight full-width rows of symmetric M with
-        # the forward-solve rhs r appended as a 9th row: ONE lane
-        # reduction per column then yields the pivot d (row k), every
-        # in-panel rank-1 coefficient (rows k+1..7), and r_j (row 8) —
-        # the per-column cross-lane latency this kernel lives or dies by
+        # the forward-solve rhs r appended as a 9th row
         panel9 = jnp.concatenate(
             [M_ref[pl.ds(j0, PANEL), :], r], axis=0
         )                                              # [PANEL+1, Np]
+        # ONE exact MXU product (one-hot columns, Precision.HIGHEST)
+        # extracts the whole 8x8 diagonal block + the rhs values into a
+        # [9, 8] register: D9[m, b] = panel9[m, j0+b]. The within-panel
+        # factorization then runs entirely on static register slices —
+        # ZERO cross-lane reductions per column (the round-4/round-5a
+        # versions spent ~470/~315 ns per column on them; this is the
+        # latency this kernel lives or dies by).
+        tile8 = (lane == (j0 + psub)).astype(f32)      # [PANEL, Np]
+        D9 = jax.lax.dot_general(
+            panel9, tile8, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+        )                                              # [PANEL+1, PANEL]
         crows = []
         for k in range(PANEL):
             j = j0 + k
-            onehot = (lane == j).astype(f32)           # [1, Np]
-            vals = jnp.sum(panel9 * onehot, axis=1, keepdims=True)
-            d = vals[k:k + 1, :]                       # [1, 1]
+            d = D9[k:k + 1, k:k + 1]                   # [1, 1]
+            # f32-typed branches: bare Python floats here would become
+            # weak float64 under jax_enable_x64 and crash Mosaic
             okf = jnp.minimum(
                 okf,
-                jnp.where((d > 0.0) & jnp.isfinite(d), 1.0, 0.0),
+                jnp.where(
+                    (d > 0.0) & jnp.isfinite(d),
+                    jnp.float32(1.0), jnp.float32(0.0),
+                ),
             )
             inv_sq = jax.lax.rsqrt(d)                  # [1, 1]
-            row = panel9[k:k + 1, :]
-            c = jnp.where(lane >= j, row * inv_sq, 0.0)  # col j of L
-            # one update for the remaining panel rows AND r: rows m<=k
-            # are already factored and see a zero coefficient (matching
-            # the full-matrix rank-1); row PANEL's coefficient is
-            # y_j = r_j / L_jj, i.e. the fused forward substitution
+            c = jnp.where(
+                lane >= j, panel9[k:k + 1, :] * inv_sq, jnp.float32(0.0)
+            )                                          # col j of L
+            # coefficients for the remaining panel rows AND r come from
+            # the register block: rows m <= k are already factored and
+            # see a zero coefficient (matching the full-matrix rank-1);
+            # row PANEL's coefficient is y_j = r_j / L_jj, the fused
+            # forward substitution
             mask9 = ((psub9 > k) | (psub9 == PANEL)).astype(f32)
-            panel9 = panel9 - (vals * inv_sq * mask9) * c
+            coef9 = D9[:, k:k + 1] * inv_sq * mask9    # [PANEL+1, 1]
+            panel9 = panel9 - coef9 * c
+            # keep the register block in sync with the panel's in-block
+            # lanes: c at lane j0+b is (D9[k, b] masked b>=k) * inv_sq
+            crow = jnp.where(bidx >= k, D9[k:k + 1, :] * inv_sq, jnp.float32(0.0))
+            D9 = D9 - coef9 * crow
             crows.append(c)
-            y = y + (vals[PANEL:PANEL + 1, :] * inv_sq) * onehot
+            onehot = (lane == j).astype(f32)
+            y = y + (coef9[PANEL:PANEL + 1, :]) * onehot
             dinv = dinv + inv_sq * onehot
         r = panel9[PANEL:PANEL + 1, :]
         C = jnp.concatenate(crows, axis=0)             # [PANEL, Np]
@@ -127,8 +149,12 @@ def _chol_kernel(S_ref, b_ref, x_ref, ok_ref, M_ref, Lr_ref, *, n, Np):
     r0 = b_ref[...]
     zero = jnp.zeros((1, Np), f32)
     one1 = jnp.ones((1, 1), f32)
+    # int32 bounds: under jax_enable_x64 a Python-int bound would make
+    # the induction variable int64, which Mosaic cannot lower (its
+    # convert-element-type rule recurses infinitely)
     _, y, dinv, okf = jax.lax.fori_loop(
-        0, n_panels, fwd_body, (r0, zero, zero, one1)
+        jnp.int32(0), jnp.int32(n_panels), fwd_body,
+        (r0, zero, zero, one1)
     )
 
     def bwd_body(i, x):
@@ -154,13 +180,13 @@ def _chol_kernel(S_ref, b_ref, x_ref, ok_ref, M_ref, Lr_ref, *, n, Np):
             xj = rem[k:k + 1, :] * dv[k:k + 1, :]      # [1, 1]
             # rows a < k couple to x_j via U[j0+a, j0+k] = resT[:, k]
             rem = rem - jnp.where(
-                psub < k, resT[:, k:k + 1], 0.0
+                psub < k, resT[:, k:k + 1], jnp.float32(0.0)
             ) * xj
-            xv = xv + jnp.where(psub == k, xj, 0.0)
+            xv = xv + jnp.where(psub == k, xj, jnp.float32(0.0))
         # scatter the block's solutions into the lane vector
         return x + jnp.sum(xv * tile8, axis=0, keepdims=True)
 
-    x = jax.lax.fori_loop(0, n_panels, bwd_body, zero)
+    x = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_panels), bwd_body, zero)
     x_ref[...] = x
     ok_ref[0, 0] = (okf[0, 0] > 0.0).astype(jnp.int32)
 

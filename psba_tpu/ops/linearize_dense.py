@@ -53,6 +53,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _smem_spec(shape):
+    """Whole-array SMEM block with an EXPLICIT i32 index map: a
+    memory_space-only BlockSpec under a grid gets a synthesized default
+    index map whose Python-int zeros trace as i64 when jax_enable_x64 is
+    on, and Mosaic cannot legalize an i64 func.return."""
+    return pl.BlockSpec(
+        shape, lambda *_: (jnp.int32(0),) * len(shape),
+        memory_space=pltpu.SMEM,
+    )
+
+
 def _cell_model(kq_ref, camv_ref, c, x1, x2, x3, vmask, clamp,
                 obsu=None, obsv=None):
     """Forward model + analytic jacobian of camera `c` against a point
@@ -90,7 +101,7 @@ def _cell_model(kq_ref, camv_ref, c, x1, x2, x3, vmask, clamp,
     # unseen cells can sit at p3 ~ 0 (point behind / beside the
     # camera): guard the division so masked garbage never turns
     # into inf * 0 = nan
-    p3 = jnp.where(vmask > 0.0, p3, 1.0)
+    p3 = jnp.where(vmask > 0.0, p3, jnp.float32(1.0))
     iz = 1.0 / p3
     exu = exv = None
     if obsu is not None:
@@ -235,9 +246,11 @@ def _dense_kernel(*refs, G, clamp, has_mask, want_u):
             compute()
         else:
             pl.when(mask_ref[c, p_id] > 0)(compute)
-        return 0
+        return jnp.int32(0)
 
-    jax.lax.fori_loop(0, G, body, 0)
+    # int32 bounds: see cholesky_pallas (x64 would make the induction
+    # variable int64, which Mosaic cannot lower)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), body, jnp.int32(0))
 
 
 def dense_obs_tables(blk_idx, obs, n_obs):
@@ -382,7 +395,6 @@ def linearize_dense_pallas(K, q0, cams, pts, obs_du, obs_dv, valid_d,
     # revisited consecutively across point tiles; the V pack is written
     # as per-chunk partials (one block per (cg, p)) and chunk-summed
     # below instead.
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     x_spec = pl.BlockSpec(
         (3, 8, TL), lambda cg, p: (jnp.int32(0), jnp.int32(0), p),
         memory_space=pltpu.VMEM,
@@ -414,10 +426,10 @@ def linearize_dense_pallas(K, q0, cams, pts, obs_du, obs_dv, valid_d,
         ))
         out_shape.append(jax.ShapeDtypeStruct((27 * Cp, 8, TL), f32))
 
-    in_specs = [smem, smem]
+    in_specs = [_smem_spec(kq.shape), _smem_spec(camv.shape)]
     inputs = [kq, camv]
     if has_mask:
-        in_specs.append(smem)
+        in_specs.append(_smem_spec(mask.shape))
         inputs.append(mask)
     in_specs += [x_spec, row_spec, row_spec, row_spec]
     inputs += [Xp, ou, ov, vd]

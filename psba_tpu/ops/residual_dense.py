@@ -36,6 +36,7 @@ from psba_tpu.ops.linearize_dense import (
     _cell_model,
     _interpret,
     _pad_p,
+    _smem_spec,
 )
 
 
@@ -72,7 +73,7 @@ def _cell_residual(kq_ref, camv_ref, c, x1, x2, x3, obsu, obsv, vmask,
     p3 = X03 + 2.0 * (s * w3 + v1 * w2 - v2 * w1) + t3
 
     # masked cells can sit at p3 ~ 0; keep the division finite
-    p3 = jnp.where(vmask > 0.0, p3, 1.0)
+    p3 = jnp.where(vmask > 0.0, p3, jnp.float32(1.0))
     iz = 1.0 / p3
     pu = (fu * p1 + sk * p2 + u0 * p3) * iz
     pv = (fu * ar * p2 + v0 * p3) * iz
@@ -123,9 +124,11 @@ def _gain_kernel(*refs, G, clamp, has_mask):
             compute()
         else:
             pl.when(mask_ref[c, p_id] > 0)(compute)
-        return 0
+        return jnp.int32(0)
 
-    jax.lax.fori_loop(0, G, body, 0)
+    # int32 bounds: see cholesky_pallas (x64 -> int64 induction var,
+    # which Mosaic cannot lower)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("clamp",))
@@ -174,7 +177,6 @@ def gain_dense_pallas(K, q0, cams, pts, new_cams, new_pts,
         if Cp != C:
             mask = jnp.pad(mask, ((0, Cp - C), (0, 0)))
 
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     x_spec = pl.BlockSpec(
         (3, 8, TL), lambda p, cg: (jnp.int32(0), jnp.int32(0), p),
         memory_space=pltpu.VMEM,
@@ -189,10 +191,12 @@ def gain_dense_pallas(K, q0, cams, pts, new_cams, new_pts,
         memory_space=pltpu.VMEM,
     )
 
-    in_specs = [smem, smem, smem]
+    in_specs = [
+        _smem_spec(kq.shape), _smem_spec(co.shape), _smem_spec(cn.shape)
+    ]
     inputs = [kq, co, cn]
     if has_mask:
-        in_specs.append(smem)
+        in_specs.append(_smem_spec(mask.shape))
         inputs.append(mask)
     in_specs += [x_spec, x_spec, row_spec, row_spec, row_spec]
     inputs += [Xo, Xn, ou, ov, vd]
@@ -261,9 +265,11 @@ def _jgram_kernel(*refs, G, n, clamp, has_mask):
             compute()
         else:
             pl.when(mask_ref[c, p_id] > 0)(compute)
-        return 0
+        return jnp.int32(0)
 
-    jax.lax.fori_loop(0, G, body, 0)
+    # int32 bounds: see cholesky_pallas (x64 -> int64 induction var,
+    # which Mosaic cannot lower)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("clamp",))
@@ -319,7 +325,6 @@ def jgram_dense_pallas(K, q0, cams, pts, valid_d, dirs_c, dirs_p,
             mask = jnp.pad(mask, ((0, Cp - C), (0, 0)))
 
     npair = n * (n + 1) // 2
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     x_spec = pl.BlockSpec(
         (3, 8, TL), lambda p, cg: (jnp.int32(0), jnp.int32(0), p),
         memory_space=pltpu.VMEM,
@@ -338,10 +343,12 @@ def jgram_dense_pallas(K, q0, cams, pts, valid_d, dirs_c, dirs_p,
         memory_space=pltpu.VMEM,
     )
 
-    in_specs = [smem, smem, smem]
+    in_specs = [
+        _smem_spec(kq.shape), _smem_spec(camv.shape), _smem_spec(dc.shape)
+    ]
     inputs = [kq, camv, dc]
     if has_mask:
-        in_specs.append(smem)
+        in_specs.append(_smem_spec(mask.shape))
         inputs.append(mask)
     in_specs += [x_spec, dp_spec, row_spec]
     inputs += [Xp, dp, vd]
