@@ -90,7 +90,13 @@ def marginal_iter_ms(
         call(k)  # warm: compile (first K only) + page-in
         ts = sorted(call(k) for _ in range(reps))
         med = ts[len(ts) // 2]
-        jitter = ts[-1] - ts[0]
+        # trimmed spread: drop the single best and worst sample before
+        # estimating jitter — the tunnel occasionally hiccups one call
+        # by tens of ms, and a max-min estimate would let one outlier
+        # veto an otherwise clean measurement (the medians the window is
+        # built from are robust to it)
+        trim = ts[1:-1] if len(ts) >= 4 else ts
+        jitter = trim[-1] - trim[0]
         return med, jitter
 
     t1, j1 = timed(k1)

@@ -13,28 +13,34 @@ factor-forward-backward chain as TWO fori_loops inside ONE Pallas kernel.
 Round-5 blocking (PROFILE_r05: the round-4 column-at-a-time version
 measured 0.060 ms for n=126 vs a 0.0002 ms roofline — pure per-step
 latency, ~470 ns/column of cross-lane scalar round-trips): columns are
-eliminated in panels of PANEL=8, and every per-column scalar the
-algorithm needs comes out of ONE lane reduction. One fori step factors
-8 columns on an in-register [9, Np] panel — the 8 in-flight full-width
-rows of the symmetric working matrix with the forward-solve rhs r
-appended as a 9th row — so a single [9,Np]->[9,1] masked reduction per
-column yields the pivot d (row k), all in-panel rank-1 coefficients
-(rows k+1..7) and r_j (row 8) at once, and the panel update
-`panel9 -= (vals*rsqrt(d)*mask) * c` advances the factorization AND the
-forward substitution in one [9, Np] op. The trailing update is ONE
-rank-8 MXU product M -= C^T C per panel (instead of 8 full-matrix
-rank-1 passes). The backward pass is blocked the same way: per panel,
-one masked reduction each for the out-of-block dots Lr[j,:].x, y and
-dinv at the block lanes, one MXU product for the in-block coupling
-resT[a,b] = L^T[j0+a, j0+b], then 8 unrolled [8,1]-register steps — no
+eliminated in panels of PANEL=16 with ZERO cross-lane reductions per
+column. One fori step loads the PANEL in-flight full-width rows of the
+symmetric working matrix with the forward-solve rhs r appended as an
+extra row (panel9 [PANEL+1, Np]); ONE exact one-hot MXU product
+extracts the whole diagonal block + rhs values into a
+[PANEL+1, PANEL] register (D9[m, b] = panel9[m, j0+b]); the
+factorization recurrence
+    c_k   = inv_k * (panel9_k - sum_{k'<k} lb[k,k'] * c_k')
+    r_out = panel9_r - sum_k y_k * c_k
+is linear in the original panel rows, so the whole panel's L^T rows and
+updated rhs are produced by ONE MXU product W @ panel9, where the
+[PANEL+1, PANEL+1] transform W is built column-by-column from D9's
+register-resident factorization (tiny static-slice ops only — the
+coefficient column of step k is simultaneously lb[m,k] for rows m>k
+and y_k for the rhs row). The trailing update is ONE rank-PANEL MXU
+product M -= C^T C per panel. The backward pass is blocked the same
+way: per panel, three lane reductions (out-of-block dots Lr[j,:].x, y
+and dinv at the block lanes), one MXU product for the in-block coupling
+resT[a,b] = L^T[j0+a, j0+b], then PANEL unrolled register steps — no
 per-column MXU transpose, no materialized identity operand, no final L
 transpose. Sequential dependencies are unchanged (Cholesky columns are
-inherently ordered); what drops is the count of cross-lane round trips
-per column (~4 -> 1) and the full-matrix VPU traffic (measured 0.060 ->
-0.040 ms at n=126; accuracy IMPROVES to ~3e-7 rel residual because the
-in-register panel arithmetic is exact f32 and both MXU products run
-Precision.HIGHEST — Mosaic's default dot precision is bf16 passes,
-which cost 3 decimal digits here).
+inherently ordered); the critical path is now the per-column chain of
+~10 tiny register ops (rsqrt + slice + FMA). Measured on v5e:
+0.060 (r4) -> 0.041 ms at n=126, 0.29 -> 0.22 ms at n=512; accuracy
+IMPROVES to ~2e-7 rel residual (the register-block arithmetic is exact
+f32 and all MXU products run Precision.HIGHEST — Mosaic's default dot
+precision is bf16 passes, which cost 3 decimal digits here, and HIGH is
+not lowerable).
 
 Failure contract matches kern_cholesky's ret flag (SPD_inv.cl:66-75 uses
 isfinite checks): ok accumulates (d > 0 & finite) over real columns; on
@@ -65,7 +71,7 @@ from jax.experimental.pallas import tpu as pltpu
 # on TPU v5e at n=1024 (tests/test_linalg.py::test_pallas_cap_shape
 # covers the shape; the TPU run is in PROFILE_r05.json's methodology).
 MAX_N = 1024
-PANEL = 8
+PANEL = 16
 
 
 def _interpret() -> bool:
@@ -103,9 +109,23 @@ def _chol_kernel(S_ref, b_ref, x_ref, ok_ref, M_ref, Lr_ref, *, n, Np):
             panel9, tile8, (((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
         )                                              # [PANEL+1, PANEL]
-        crows = []
+        # The per-column full-width updates are deferred into ONE MXU
+        # product: the factorization recurrence
+        #   c_k   = inv_k * (panel9_k - sum_{k'<k} lb[k,k'] * c_k')
+        #   r_out = panel9_8 - sum_k y_k * c_k
+        # is linear in the original panel rows, so [c_0..c_7, r_out] =
+        # W @ panel9 for a [9, 9] transform W built entirely from the
+        # register block's factorization (the coefficient column coef9
+        # of column k is simultaneously lb[m, k] for rows m > k and y_k
+        # for row 8 — one accumulator outer product per column threads
+        # it into every future W row).
+        wrows = []
+        acc99 = jnp.zeros((PANEL + 1, PANEL + 1), f32)
+        yv = jnp.zeros((PANEL, 1), f32)
+        dv = jnp.zeros((PANEL, 1), f32)
+        lane9 = jax.lax.broadcasted_iota(jnp.int32, (1, PANEL + 1), 1)
+        sub8 = psub
         for k in range(PANEL):
-            j = j0 + k
             d = D9[k:k + 1, k:k + 1]                   # [1, 1]
             # f32-typed branches: bare Python floats here would become
             # weak float64 under jax_enable_x64 and crash Mosaic
@@ -117,27 +137,36 @@ def _chol_kernel(S_ref, b_ref, x_ref, ok_ref, M_ref, Lr_ref, *, n, Np):
                 ),
             )
             inv_sq = jax.lax.rsqrt(d)                  # [1, 1]
-            c = jnp.where(
-                lane >= j, panel9[k:k + 1, :] * inv_sq, jnp.float32(0.0)
-            )                                          # col j of L
-            # coefficients for the remaining panel rows AND r come from
-            # the register block: rows m <= k are already factored and
-            # see a zero coefficient (matching the full-matrix rank-1);
-            # row PANEL's coefficient is y_j = r_j / L_jj, the fused
-            # forward substitution
+            ek = (lane9 == k).astype(f32)              # [1, PANEL+1]
+            wk = (ek - acc99[k:k + 1, :]) * inv_sq     # [1, PANEL+1]
+            wrows.append(wk)
             mask9 = ((psub9 > k) | (psub9 == PANEL)).astype(f32)
             coef9 = D9[:, k:k + 1] * inv_sq * mask9    # [PANEL+1, 1]
-            panel9 = panel9 - coef9 * c
-            # keep the register block in sync with the panel's in-block
-            # lanes: c at lane j0+b is (D9[k, b] masked b>=k) * inv_sq
-            crow = jnp.where(bidx >= k, D9[k:k + 1, :] * inv_sq, jnp.float32(0.0))
+            acc99 = acc99 + coef9 * wk
+            # keep the register block in sync (in-block lanes only)
+            crow = jnp.where(
+                bidx >= k, D9[k:k + 1, :] * inv_sq, jnp.float32(0.0)
+            )
             D9 = D9 - coef9 * crow
-            crows.append(c)
-            onehot = (lane == j).astype(f32)
-            y = y + (coef9[PANEL:PANEL + 1, :]) * onehot
-            dinv = dinv + inv_sq * onehot
-        r = panel9[PANEL:PANEL + 1, :]
-        C = jnp.concatenate(crows, axis=0)             # [PANEL, Np]
+            yv = yv + jnp.where(
+                sub8 == k, coef9[PANEL:PANEL + 1, :], jnp.float32(0.0)
+            )
+            dv = dv + jnp.where(sub8 == k, inv_sq, jnp.float32(0.0))
+        wrows.append(
+            (lane9 == PANEL).astype(f32) - acc99[PANEL:PANEL + 1, :]
+        )
+        W = jnp.concatenate(wrows, axis=0)             # [PANEL+1, PANEL+1]
+        CW = jax.lax.dot_general(
+            W, panel9, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+        )                                              # [PANEL+1, Np]
+        # c_k is exactly zero below its own column (elimination); mask
+        # the f32 residue the one-shot matmul leaves there
+        C = jnp.where(lane >= (j0 + psub), CW[:PANEL, :], jnp.float32(0.0))
+        r = CW[PANEL:PANEL + 1, :]
+        # batch the y/dinv lane scatters: one sublane reduction each
+        y = y + jnp.sum(yv * tile8, axis=0, keepdims=True)
+        dinv = dinv + jnp.sum(dv * tile8, axis=0, keepdims=True)
         Lr_ref[pl.ds(j0, PANEL), :] = C                # rows of L^T
         # one rank-PANEL MXU trailing update: M -= C^T C
         M_ref[...] = M_ref[...] - jax.lax.dot_general(
