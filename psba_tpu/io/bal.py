@@ -42,9 +42,15 @@ def read_bal(path: str, dtype=np.float64):
     """Parse a raw BAL file.
 
     Returns (cam_params [C,9], pts [P,3], obs [O,2], cam_idx, pt_idx).
-    """
+    Uses the native C++ stream parser when built (native/loader.cpp —
+    production BAL files run to ~100 MB of text); the NumPy fallback
+    below is parity-tested against it."""
+    from psba_tpu.io import native
+
+    if native.available() and native.has_bal():
+        return native.read_bal(path, dtype=dtype)
     with open(path, "r") as f:
-        data = np.fromstring(f.read(), sep=" ")
+        data = np.fromiter(f.read().split(), dtype=np.float64)
     C, P, O = int(data[0]), int(data[1]), int(data[2])
     hdr = 3
     ob = data[hdr : hdr + 4 * O].reshape(O, 4)

@@ -49,8 +49,68 @@ def _load():
         ctypes.POINTER(ctypes.c_int),     # pt_idx [O]
         ctypes.POINTER(ctypes.c_double),  # cov [O*4] or NULL
     ]
+    if hasattr(lib, "psba_read_bal_header"):
+        lib.psba_read_bal_header.restype = ctypes.c_int
+        lib.psba_read_bal_header.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_long),  # n_cams
+            ctypes.POINTER(ctypes.c_long),  # n_pts
+            ctypes.POINTER(ctypes.c_long),  # n_obs
+        ]
+        lib.psba_read_bal.restype = ctypes.c_int
+        lib.psba_read_bal.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double),  # cam_params [C*9]
+            ctypes.POINTER(ctypes.c_double),  # pts [P*3]
+            ctypes.POINTER(ctypes.c_double),  # obs [O*2]
+            ctypes.POINTER(ctypes.c_int),     # cam_idx [O]
+            ctypes.POINTER(ctypes.c_int),     # pt_idx [O]
+        ]
     _lib = lib
     return lib
+
+
+def has_bal() -> bool:
+    """True when the built library carries the raw-BAL entry points
+    (a library built before round 5 lacks them; rebuild with
+    `python -m psba_tpu.io.native --build`)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "psba_read_bal")
+
+
+def read_bal(path: str, dtype=np.float64):
+    """Native raw-BAL stream parser (native/loader.cpp): returns
+    (cam_params [C,9], pts [P,3], obs [O,2], cam_idx, pt_idx) —
+    identical contract to psba_tpu.io.bal.read_bal."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "psba_read_bal")
+    nc = ctypes.c_long()
+    np_ = ctypes.c_long()
+    no = ctypes.c_long()
+    rc = lib.psba_read_bal_header(
+        path.encode(), ctypes.byref(nc), ctypes.byref(np_),
+        ctypes.byref(no),
+    )
+    if rc != 0:
+        raise IOError(f"native BAL header parse failed ({rc}) for {path}")
+    C, P, O = nc.value, np_.value, no.value
+    cam_params = np.empty((C, 9), np.float64)
+    pts = np.empty((P, 3), np.float64)
+    obs = np.empty((O, 2), np.float64)
+    cam_idx = np.empty(O, np.int32)
+    pt_idx = np.empty(O, np.int32)
+    dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    rc = lib.psba_read_bal(
+        path.encode(), C, P, O, dptr(cam_params), dptr(pts), dptr(obs),
+        iptr(cam_idx), iptr(pt_idx),
+    )
+    if rc != 0:
+        raise IOError(f"native BAL read failed ({rc}) for {path}")
+    if dtype != np.float64:
+        cam_params = cam_params.astype(dtype)
+        pts, obs = pts.astype(dtype), obs.astype(dtype)
+    return cam_params, pts, obs, cam_idx, pt_idx
 
 
 def available() -> bool:

@@ -142,3 +142,34 @@ def test_bal_roundtrip_mini_fixture(tmp_path):
     res2 = solve(prob2)
     np.testing.assert_allclose(res2.initial_l2, res.initial_l2, rtol=1e-7)
     np.testing.assert_allclose(res2.final_l2, res.final_l2, rtol=1e-5)
+
+
+def test_native_bal_parser_matches_python(tmp_path):
+    """The C++ raw-BAL stream parser (native/loader.cpp) must return the
+    byte-identical problem the NumPy fallback produces on the checked-in
+    miniature fixture."""
+    import os
+
+    import numpy as np
+
+    from psba_tpu.io import native
+
+    if not (native.available() and native.has_bal()):
+        import pytest
+
+        pytest.skip("native loader not built")
+
+    import psba_tpu.io.bal as balmod
+
+    fixture = os.path.join(os.path.dirname(__file__), "data", "mini_bal.txt")
+    nat = native.read_bal(fixture)
+
+    # force the NumPy path for comparison
+    orig = native.has_bal
+    native.has_bal = lambda: False
+    try:
+        ref = balmod.read_bal(fixture)
+    finally:
+        native.has_bal = orig
+    for a, b in zip(nat, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
