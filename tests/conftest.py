@@ -1,22 +1,44 @@
 """Test configuration: CPU backend with 8 virtual devices and x64 enabled.
 
 Multi-host/multi-chip sharding tests run on a virtual CPU mesh since the
-reference offers no distributed fixture to imitate (SURVEY.md §4)."""
+reference offers no distributed fixture to imitate (SURVEY.md §4).
+
+PSBA_TEST_TPU=1 keeps the real TPU backend instead, so the Pallas
+kernels run Mosaic-compiled rather than in interpret mode — CPU-only CI
+cannot catch Mosaic lowering regressions (layout, VMEM budget, 64-bit
+types; see tests/test_x64_kernels.py). Intended for the kernel test
+files (test_linalg, test_pallas, test_x64_kernels); the committed
+on-TPU run log is TPU_TESTLOG_r05.txt."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-)
+TEST_TPU = os.environ.get("PSBA_TEST_TPU", "") == "1"
+
+if not TEST_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 import jax  # noqa: E402
 
-# A TPU plugin may have been force-registered by a sitecustomize before this
-# conftest runs (overriding JAX_PLATFORMS); the config update below wins as
-# long as no backend has been initialized yet.
-jax.config.update("jax_platforms", "cpu")
+if not TEST_TPU:
+    # A TPU plugin may have been force-registered by a sitecustomize
+    # before this conftest runs (overriding JAX_PLATFORMS); the config
+    # update below wins as long as no backend has been initialized yet.
+    jax.config.update("jax_platforms", "cpu")
+else:
+    try:  # compile cache: repeat on-TPU test runs skip recompiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", -1
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:
+        pass
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
