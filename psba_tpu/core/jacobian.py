@@ -23,6 +23,7 @@ translation, compute_jacobiQT.cl:113-118).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from psba_tpu.models.quaternion import (
@@ -64,10 +65,15 @@ def jacobians(K, q0, cams, pts, cam_idx, pt_idx, clamp: bool = False):
     t = cams[cam_idx, 3:6]
     X = pts[pt_idx]
 
+    # every einsum on this path pins Precision.HIGHEST: TPU XLA's
+    # default is bf16 MXU passes, which cost ~0.6% on the
+    # cancellation-heavy rotation-jacobian entries (measured vs f64;
+    # the Mosaic kernels sat at 2.5e-7 while this path drifted)
     s = local_scalar(v, clamp=clamp)[..., None]          # [O,1]
     q = compose_local(v, q0g, clamp=clamp)               # [O,4]
     R0 = quat_to_matrix(q0g)                             # [O,3,3]
-    X0 = jnp.einsum("oij,oj->oi", R0, X)                 # [O,3]
+    X0 = jnp.einsum("oij,oj->oi", R0, X,
+                    precision=jax.lax.Precision.HIGHEST)  # [O,3]
     w = jnp.cross(v, X0)                                 # [O,3]
     pc = X0 + 2.0 * s * w + 2.0 * jnp.cross(v, w) + t    # [O,3]
 
@@ -78,13 +84,16 @@ def jacobians(K, q0, cams, pts, cam_idx, pt_idx, clamp: bool = False):
         -(2.0 / s)[..., None] * w[..., :, None] * v[..., None, :]
         - 2.0 * s[..., None] * _skew(X0)
         - 2.0 * _skew(w)
-        - 2.0 * jnp.einsum("oij,ojk->oik", _skew(v), _skew(X0))
+        - 2.0 * jnp.einsum("oij,ojk->oik", _skew(v), _skew(X0),
+                           precision=jax.lax.Precision.HIGHEST)
     )                                                    # [O,3,3]
 
-    A_rot = jnp.einsum("oij,ojk->oik", P, M)             # [O,2,3]
+    A_rot = jnp.einsum("oij,ojk->oik", P, M,
+                       precision=jax.lax.Precision.HIGHEST)  # [O,2,3]
     A = jnp.concatenate([A_rot, P], axis=-1)             # [O,2,6]
     Rq = quat_to_matrix(q)                               # [O,3,3]
-    B = jnp.einsum("oij,ojk->oik", P, Rq)                # [O,2,3]
+    B = jnp.einsum("oij,ojk->oik", P, Rq,
+                   precision=jax.lax.Precision.HIGHEST)  # [O,2,3]
     return A, B
 
 
@@ -99,6 +108,8 @@ def jmultiply(A, B, x_cams, x_pts, cam_idx, pt_idx):
     """
     xc = x_cams.reshape(-1, 6)[cam_idx]
     xp = x_pts.reshape(-1, 3)[pt_idx]
+    hp = jax.lax.Precision.HIGHEST
     return (
-        jnp.einsum("oij,oj->oi", A, xc) + jnp.einsum("oij,oj->oi", B, xp)
+        jnp.einsum("oij,oj->oi", A, xc, precision=hp)
+        + jnp.einsum("oij,oj->oi", B, xp, precision=hp)
     )

@@ -70,8 +70,12 @@ def test_linearize_valid_mask(fx):
     U_x, V_x, W_x, ga_x, gb_x = assemble_blocks(
         A_x, B_x, ex_x, p.cam_idx, p.pt_idx, p.n_cams, p.n_pts, valid=valid
     )
-    np.testing.assert_allclose(np.asarray(U), np.asarray(U_x), rtol=2e-4,
-                               atol=1e-2)
+    # scale-aware gate: U's entries span ~7 orders of magnitude, and on
+    # real TPU both paths carry ~2.4e-7 * max|U| of f32 accumulation
+    # noise (measured against f64), which a per-element rtol would
+    # misread as a 2% error on the smallest entries
+    err = np.max(np.abs(np.asarray(U) - np.asarray(U_x)))
+    assert err <= 2e-6 * np.max(np.abs(np.asarray(U_x))), err
     np.testing.assert_allclose(
         float(l2), float(error_l2(ex_x, valid=valid)), rtol=1e-5
     )
@@ -442,6 +446,10 @@ def test_dense_padded_lanes_identity(prob_synth):
 
 def test_solver_pallas_dense3_sharded(prob_synth):
     """Dense-grid planar path under shard_map (4 virtual devices)."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 4:
+        pytest.skip("needs 4 devices (PSBA_TEST_TPU runs on 1 real chip)")
     from psba_tpu.parallel.shard import solve_sharded
     from psba_tpu.solvers import SolverConfig
     from psba_tpu.solvers.hybrid import solve
