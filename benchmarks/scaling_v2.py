@@ -36,71 +36,63 @@ sys.path.insert(
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def measure_tpu_sharded_mesh1(dataset="trafalgar21", n1=2, n2=24):
+def measure_tpu_sharded_mesh1(dataset="trafalgar21", n_iters=12):
     """Marginal LM-iteration time of the SHARDED path on the real TPU
     (mesh with 1 device -> collectives are no-ops but the full shard_map
     + host-local-shard machinery and Mosaic kernel path runs).
 
-    Round-5 method: the window is n2-n1 = 22 iterations (inside
-    trafalgar21's ~31-iteration stop-disabled f32 horizon), median-of-7
-    per point, and the result carries the same 10x trimmed-jitter guard
-    as every other artifact (benchmarks.measure conventions) — the r4
-    recording used a sub-floor 8-iteration window with min-of-3."""
+    Round-5 method: the repeats-marginal measurement every other
+    artifact uses (benchmarks.measure) — one dispatch runs K identical
+    12-iteration sharded solves, K2 escalating past the 10x
+    trimmed-jitter floor. The r4 recording (0.95 ms) used a sub-floor
+    8-iteration min-of-3 window and is superseded."""
     import jax
     import jax.numpy as jnp
 
+    from benchmarks.measure import marginal_iter_ms
     from psba_tpu import datasets
-    from psba_tpu.parallel.shard import make_sharded_runners, shard_problem
+    from psba_tpu.parallel.shard import (
+        make_sharded_lm_repeat,
+        make_sharded_runners,
+        shard_problem,
+    )
     from psba_tpu.solvers.types import SolverConfig
 
     assert jax.default_backend() == "tpu", jax.default_backend()
     prob = datasets.load(dataset)
     dtype = jnp.float32
     cfg = SolverConfig.for_dtype(
-        dtype, max_iters=n2, stop_thresh=1e-30, lm_switch_count=10_000
+        dtype, max_iters=320, stop_thresh=1e-30, lm_switch_count=10_000,
+        damping="additive",  # trafalgar21's auto resolution (RESULTS.json)
     )
     sp = shard_problem(prob, 1)
     mesh = jax.make_mesh((1,), ("obs",))
-    pa, cams0, pts0, init_s, lm_s, _ = make_sharded_runners(
+    pa, cams0, pts0, init_s, _, _ = make_sharded_runners(
         sp, cfg, mesh, dtype=dtype
     )
     state0 = init_s(pa, cams0, pts0)
+    rep = make_sharded_lm_repeat(sp, cfg, mesh)
 
-    def timed(cap):
-        out = lm_s(pa, state0, jnp.int32(cap))
-        out.ex_l2.block_until_ready()
-        assert int(out.itno) == cap, (int(out.itno), cap)
-        ts = []
-        for _ in range(7):
-            t0 = time.perf_counter()
-            out = lm_s(pa, state0, jnp.int32(cap))
-            out.ex_l2.block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        return ts[3], ts[-2] - ts[1], float(out.ex_l2)
+    acc, itno = rep(pa, state0, jnp.int32(n_iters), jnp.int32(2))
+    assert int(itno) == 2 * n_iters, (int(itno), float(acc))
 
-    t1, j1, _ = timed(n1)
-    t2, j2, l2 = timed(n2)
-    window = t2 - t1
-    floor = 10.0 * max(j1, j2, 1e-4)
-    row = {
+    def call(k):
+        t0 = time.perf_counter()
+        acc, _ = rep(pa, state0, jnp.int32(n_iters), jnp.int32(k))
+        float(acc)
+        return time.perf_counter() - t0
+
+    ms, diag = marginal_iter_ms(call, n_iters, k_max=128)
+    return {
         "dataset": dataset,
         "device": str(jax.devices()[0]),
         "mesh_devices": 1,
         "schur": "dense" if sp.blk is not None else "pairs",
         "backend": "pallas (Mosaic, via shard_map)",
-        "timing": {
-            "n": [n1, n2], "window_ms": round(window * 1e3, 3),
-            "noise_floor_ms": round(floor * 1e3, 3),
-        },
-        "ex_l2_after_iters": l2,
+        "lm_iter_ms": None if ms is None else round(ms, 3),
+        "timing": diag,
+        "ex_l2_after_2x12_iters": float(acc),
     }
-    if window >= floor:
-        row["lm_iter_ms"] = round(window / (n2 - n1) * 1e3, 3)
-    else:
-        row["lm_iter_ms"] = None
-        row["timing"]["note"] = "window below the 10x jitter floor"
-    return row
 
 
 def main(argv=None):

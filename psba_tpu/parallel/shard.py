@@ -177,6 +177,60 @@ def _make_mesh(n_devices: int) -> Mesh:
     return jax.make_mesh((n_devices,), (AXIS,), devices=devs[:n_devices])
 
 
+def _shard_specs(dense: bool, cfg: SolverConfig):
+    """Partition specs shared by the solver and timing runners."""
+    pa_spec = ProblemArrays(
+        K=P(), q0=P(), obs=P(AXIS), cam_idx=P(AXIS), pt_idx=P(AXIS),
+        pair_o1=None if dense else P(AXIS),
+        pair_o2=None if dense else P(AXIS),
+        pair_bucket=None if dense else P(AXIS),
+        blk_idx=P(None, AXIS) if dense else None,  # point axis is dim 1
+        valid=P(AXIS),
+        obs_du=P(None, AXIS) if dense else None,
+        obs_dv=P(None, AXIS) if dense else None,
+        valid_d=P(None, AXIS) if dense else None,
+    )
+    # history rows are built entirely from psum'd (replicated) scalars, so
+    # the capture buffer is replicated across shards
+    hist_spec = P() if cfg.record_history else None
+    state_spec = OptState(
+        cams=P(), pts=P(AXIS), ex=P(AXIS), ex_l2=P(), itno=P(), flag=P(),
+        history=hist_spec,
+    )
+    return pa_spec, state_spec
+
+
+def make_sharded_lm_repeat(sp: ShardedProblem, cfg: SolverConfig,
+                           mesh: Mesh):
+    """Repeats runner for the SHARDED path: one dispatch executes
+    `repeats` identical iter_cap-length lm_run trajectories under
+    shard_map (the sharded analog of benchmarks.measure.lm_repeat_runner,
+    same LICM-defeating zero perturbation). Returns
+    `(pa, state0, iter_cap, repeats) -> (acc_l2, total_itno)` with both
+    outputs replicated scalars."""
+    ctx = MeshCtx(AXIS)
+    pa_spec, state_spec = _shard_specs(sp.blk is not None, cfg)
+
+    def rep_fn(pa, state0, iter_cap, repeats):
+        zero = jnp.zeros((), state0.cams.dtype)
+
+        def body(_k, carry):
+            acc, itno = carry
+            eps = jnp.minimum(acc, zero)  # == 0.0; defeats LICM
+            st = state0._replace(cams=state0.cams + eps)
+            out = lm_run(pa, st, cfg, ctx=ctx, iter_cap=iter_cap)
+            return acc + out.ex_l2, itno + out.itno
+
+        return jax.lax.fori_loop(
+            jnp.int32(0), repeats, body, (zero, jnp.int32(0))
+        )
+
+    return jax.jit(shard_map(
+        rep_fn, mesh=mesh, in_specs=(pa_spec, state_spec, P(), P()),
+        out_specs=(P(), P()), check_vma=False,
+    ))
+
+
 def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
                          dtype=None, build_arrays=True):
     """Build (pa_global, cams0, pts0, init_fn, lm_fn, tr_fn) shard_mapped
@@ -203,24 +257,7 @@ def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
         pts0 = fdt(sp.pts)
         cams0 = fdt(sp.cams)
 
-    pa_spec = ProblemArrays(
-        K=P(), q0=P(), obs=P(AXIS), cam_idx=P(AXIS), pt_idx=P(AXIS),
-        pair_o1=None if dense else P(AXIS),
-        pair_o2=None if dense else P(AXIS),
-        pair_bucket=None if dense else P(AXIS),
-        blk_idx=P(None, AXIS) if dense else None,  # point axis is dim 1
-        valid=P(AXIS),
-        obs_du=P(None, AXIS) if dense else None,
-        obs_dv=P(None, AXIS) if dense else None,
-        valid_d=P(None, AXIS) if dense else None,
-    )
-    # history rows are built entirely from psum'd (replicated) scalars, so
-    # the capture buffer is replicated across shards
-    hist_spec = P() if cfg.record_history else None
-    state_spec = OptState(
-        cams=P(), pts=P(AXIS), ex=P(AXIS), ex_l2=P(), itno=P(), flag=P(),
-        history=hist_spec,
-    )
+    pa_spec, state_spec = _shard_specs(dense, cfg)
     init_spec = state_spec._replace(history=None)  # init has no buffer yet
 
     def smap(f, in_specs, out_specs):
