@@ -43,20 +43,24 @@ from psba_tpu.ops.residual_dense import gain_dense_pallas
 from psba_tpu.solvers.types import ProblemArrays
 
 
-def stage_call(make_body, seed):
+def stage_call(make_body, seed, ops):
     """Bind a stage into the call(k)->seconds shape marginal_iter_ms
-    consumes: k back-to-back stage executions in one dispatch."""
+    consumes: k back-to-back stage executions in one dispatch. The
+    stage's array operands ride as jit ARGUMENTS — closed-over arrays
+    would be baked into the program as constants, which at BAL scale
+    blows up the serialized compile request (HTTP 413 through the
+    tunnel) and XLA's scoped-VMEM planning."""
 
     @jax.jit
-    def loop(n, eps):
+    def loop(n, eps, ops):
         def body(_, e):
-            return make_body(e) * 1e-30 + eps
+            return make_body(e, *ops) * 1e-30 + eps
 
         return jax.lax.fori_loop(0, n, body, eps)
 
     def call(k):
         t0 = time.perf_counter()
-        float(loop(jnp.int32(k), seed))
+        float(loop(jnp.int32(k), seed, ops))
         return time.perf_counter() - t0
 
     return call
@@ -65,6 +69,8 @@ def stage_call(make_body, seed):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
+    ap.add_argument("--dataset", default=None,
+                    help="registry dataset (default: trafalgar21 files)")
     args = ap.parse_args(argv)
 
     try:
@@ -74,11 +80,18 @@ def main(argv=None):
     except Exception:
         pass
 
-    data = "/root/reference/data"
-    prob = load_problem(
-        f"{data}/Trafalgar-21-11315-cams.txt",
-        f"{data}/Trafalgar-21-11315-pts.txt",
-    )
+    if args.dataset:
+        from psba_tpu import datasets
+
+        prob = datasets.load(args.dataset)
+        ds_name = args.dataset
+    else:
+        data = "/root/reference/data"
+        prob = load_problem(
+            f"{data}/Trafalgar-21-11315-cams.txt",
+            f"{data}/Trafalgar-21-11315-pts.txt",
+        )
+        ds_name = "trafalgar21"
     prob, _ = prob.with_tile_point_order()  # what hybrid.solve runs
     dtype = jnp.float32
     pa = ProblemArrays.from_problem(prob, dtype=dtype)
@@ -102,38 +115,43 @@ def main(argv=None):
     dpa_flat, ok = spd_solve(S, ea.reshape(-1))
     dpa = dpa_flat.reshape(C, 6)
 
+    # (operands, fn(eps, *operands)) per stage: operands are jit args
     stages = {
         # the one dense-grid kernel per outer iteration (ZW/V/gb + U/ga)
-        "linearize_dense": lambda e: jnp.sum(linearize_dense_pallas(
-            pa.K, pa.q0, cams + e, pts, pa.obs_du, pa.obs_dv, pa.valid_d,
-            want_u=True, tile_mask=pa.tile_mask,
-        )[0]),
+        "linearize_dense": ((cams,), lambda e, cams_: jnp.sum(
+            linearize_dense_pallas(
+                pa.K, pa.q0, cams_ + e, pts, pa.obs_du, pa.obs_dv,
+                pa.valid_d, want_u=True, tile_mask=pa.tile_mask,
+            )[0])),
         # per damping retry
-        "inv3x3": lambda e: jnp.sum(inv3x3_planar3(Vp_d + e)[0]),
-        "schur_S_dense": lambda e: jnp.sum(
-            schur_S_dense3(U_d, (ZW0 + e, ZW1, ZW2), Vinv3)[0]
-        ),
-        "reduced_rhs_dense": lambda e: jnp.sum(
-            reduced_rhs_dense3(ga + e, gbp3, ZY3)
-        ),
-        "spd_solve": lambda e: jnp.sum(spd_solve(S, ea.reshape(-1) + e)[0]),
-        "back_substitute": lambda e: jnp.sum(
-            back_substitute_dense3(gbp3, ZW3, Vinv3, dpa + e)
-        ),
-        "gain_dense": lambda e: gain_dense_pallas(
-            pa.K, pa.q0, cams + e, pts, cams, pts, pa.obs_du, pa.obs_dv,
-            pa.valid_d, tile_mask=pa.tile_mask,
-        )[0],
-        "damp_uv": lambda e: jnp.sum(damp_v_planar(Vp0, mu + e)),
+        "inv3x3": ((Vp_d,), lambda e, Vp_d_: jnp.sum(
+            inv3x3_planar3(Vp_d_ + e)[0])),
+        "schur_S_dense": ((U_d, ZW0, ZW1, ZW2, Vinv3),
+                          lambda e, U_, z0, z1, z2, Vi: jnp.sum(
+            schur_S_dense3(U_, (z0 + e, z1, z2), Vi)[0])),
+        "reduced_rhs_dense": ((ga, gbp3, ZY3),
+                              lambda e, ga_, gb_, zy_: jnp.sum(
+            reduced_rhs_dense3(ga_ + e, gb_, zy_))),
+        "spd_solve": ((S, ea), lambda e, S_, ea_: jnp.sum(
+            spd_solve(S_, ea_.reshape(-1) + e)[0])),
+        "back_substitute": ((gbp3, ZW3, Vinv3, dpa),
+                            lambda e, gb_, zw_, Vi, dpa_: jnp.sum(
+            back_substitute_dense3(gb_, zw_, Vi, dpa_ + e))),
+        "gain_dense": ((cams, pts), lambda e, cams_, pts_: gain_dense_pallas(
+            pa.K, pa.q0, cams_ + e, pts_, cams_, pts_, pa.obs_du,
+            pa.obs_dv, pa.valid_d, tile_mask=pa.tile_mask,
+        )[0]),
+        "damp_uv": ((Vp0,), lambda e, Vp0_: jnp.sum(
+            damp_v_planar(Vp0_, mu + e))),
         # obs-stream kernels (pairs/non-dense3 paths, for comparison)
-        "linearize_pallas": lambda e: linearize_pallas(
-            pa.K, pa.q0, cams + e, pts, pa.obs, pa.cam_idx, pa.pt_idx,
+        "linearize_pallas": ((cams,), lambda e, cams_: linearize_pallas(
+            pa.K, pa.q0, cams_ + e, pts, pa.obs, pa.cam_idx, pa.pt_idx,
             pa.valid, C, P, want_point=False, want_w=False,
-        )[1],
-        "residual_l2_pallas": lambda e: residual_l2_pallas(
-            pa.K, pa.q0, cams + e, pts, pa.obs, pa.cam_idx, pa.pt_idx,
+        )[1]),
+        "residual_l2_pallas": ((cams,), lambda e, cams_: residual_l2_pallas(
+            pa.K, pa.q0, cams_ + e, pts, pa.obs, pa.cam_idx, pa.pt_idx,
             pa.valid,
-        )[1],
+        )[1]),
     }
     from psba_tpu.utils.roofline import V5E, lm_stage_costs
 
@@ -142,9 +160,15 @@ def main(argv=None):
     total = 0.0
     print(f"{'stage':22s} {'measured':>10s} {'roofline':>10s} "
           f"{'%SoL':>6s}  bound", file=sys.stderr)
-    for name, body in stages.items():
-        call = stage_call(body, seed)
-        ms, diag = marginal_iter_ms(call, 1, k1=8, k_max=8192)
+    for name, (ops, body) in stages.items():
+        call = stage_call(body, seed, ops)
+        try:
+            ms, diag = marginal_iter_ms(call, 1, k1=8, k_max=8192)
+        except Exception as e:  # per-stage compile OOM etc.: the
+            # fori-loop harness can push a kernel's scoped-VMEM
+            # allocation over the limit even when the solver context
+            # compiles fine (XLA stack-allocates the looped outputs)
+            ms, diag = None, {"error": repr(e)[:300]}
         row = {"stage": name, "measured_ms": None if ms is None
                else round(ms, 5), "timing": diag}
         c = costs.get(name) or costs.get(name + "_dense")
@@ -156,7 +180,10 @@ def main(argv=None):
         rows.append(row)
         if ms is not None and not name.endswith("_pallas"):
             total += ms
-        mss = "   <floor" if ms is None else f"{ms:8.4f} ms"
+        mss = (
+            "   <error" if "error" in diag
+            else "   <floor" if ms is None else f"{ms:8.4f} ms"
+        )
         sol = (f"{row.get('roofline_ms', 0):8.4f} ms "
                f"{100 * row.get('sol_frac', 0):5.1f}%  "
                f"{row.get('bound', '')}" if c is not None else "")
@@ -164,7 +191,7 @@ def main(argv=None):
     print(f"{'SUM (dense3 stages)':22s} {total:8.4f} ms", file=sys.stderr)
 
     out = {
-        "dataset": "trafalgar21",
+        "dataset": ds_name,
         "C": C, "P": P, "O": pa.n_obs,
         "device": str(jax.devices()[0]),
         "note": (
