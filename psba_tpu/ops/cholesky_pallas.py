@@ -42,6 +42,14 @@ f32 and all MXU products run Precision.HIGHEST — Mosaic's default dot
 precision is bf16 passes, which cost 3 decimal digits here, and HIGH is
 not lowerable).
 
+Tried and rejected (round 5): restricting the trailing update to the
+trailing row panels via an inner dynamic-bound fori_loop of per-panel
+[PANEL, Np] read-modify-writes — although it cuts the O(Np^3/PANEL)
+VMEM traffic roughly in half on paper, Mosaic pipelines the single
+full-matrix M -= C^T C far better than many small dynamic-sliced
+updates (measured: n=126 41 -> 47 us, n=558 0.30 -> 0.47 ms, n=1024
+0.9 -> 1.44 ms). The full-matrix form stands.
+
 Failure contract matches kern_cholesky's ret flag (SPD_inv.cl:66-75 uses
 isfinite checks): ok accumulates (d > 0 & finite) over real columns; on
 failure x contains garbage and the caller escalates damping exactly as it
