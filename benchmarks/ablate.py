@@ -67,7 +67,8 @@ def main():
 
     def cfg_for(n):
         return SolverConfig(
-            max_iters=n, stop_thresh=1e-30, lm_switch_count=10_000
+            max_iters=n, stop_thresh=1e-30, lm_switch_count=10_000,
+            damping="additive",
         )
 
     results = {}

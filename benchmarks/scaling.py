@@ -49,7 +49,8 @@ def measure(prob, n_devices, dtype, schur):
 
     def timed(n_iters):
         cfg = SolverConfig(
-            max_iters=n_iters, stop_thresh=1e-30, lm_switch_count=10_000
+            max_iters=n_iters, stop_thresh=1e-30, lm_switch_count=10_000,
+            damping="additive",
         )
         pa, cams0, pts0, init_s, lm_s, _ = make_sharded_runners(
             sp, cfg, mesh, dtype=dtype

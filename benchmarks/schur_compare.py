@@ -41,7 +41,7 @@ def measure(prob, dtype, schur, backend):
     # remote compiles through the tunnel can cost minutes apiece
     cfg = SolverConfig.for_dtype(
         dtype, max_iters=N2, stop_thresh=1e-30, lm_switch_count=10_000,
-        backend=backend,
+        backend=backend, damping="additive",
     )
 
     def timed(n):
