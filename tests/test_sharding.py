@@ -80,3 +80,38 @@ def test_sharded_history(prob_synth):
     rows = res.history[~np.isnan(res.history[:, 0])]
     assert len(rows) == res.iterations
     assert "itno=0" in res.format_history()
+
+
+def test_sharded_lm_repeat_matches_single_run(prob_synth):
+    """The timing repeat runner (one dispatch = K identical sharded
+    solves, benchmarks/scaling_v2.py's measurement primitive) must
+    reproduce K x the single run's iteration count and K x its final
+    L2 — i.e. every repeat genuinely executes the same trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from psba_tpu.parallel.shard import (
+        make_sharded_lm_repeat,
+        make_sharded_runners,
+        shard_problem,
+    )
+    from psba_tpu.solvers.types import SolverConfig
+
+    cfg = SolverConfig(
+        max_iters=64, stop_thresh=1e-30, lm_switch_count=10_000,
+        damping="additive",
+    )
+    sp = shard_problem(prob_synth, 4)
+    mesh = jax.make_mesh((4,), ("obs",))
+    pa, cams0, pts0, init_s, lm_s, _ = make_sharded_runners(
+        sp, cfg, mesh, dtype=jnp.float64
+    )
+    state0 = init_s(pa, cams0, pts0)
+    n = 5
+    ref = lm_s(pa, state0, jnp.int32(n))
+
+    rep = make_sharded_lm_repeat(sp, cfg, mesh)
+    acc, itno = rep(pa, state0, jnp.int32(n), jnp.int32(3))
+    assert int(itno) == 3 * n
+    np.testing.assert_allclose(float(acc), 3.0 * float(ref.ex_l2),
+                               rtol=1e-12)
