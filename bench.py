@@ -33,32 +33,19 @@ import sys
 N_ITERS = 12  # per repeat; well inside trafalgar21's f32 horizon (~31)
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: repeat bench invocations skip
-    recompiles of unchanged programs (first compile through a tunneled
-    TPU can run minutes when the remote compile service is loaded)."""
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax without these knobs
-
-
 def main():
     import jax
     import jax.numpy as jnp
 
-    _enable_compile_cache()
-
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from benchmarks.measure import (
+        enable_compile_cache,
         lm_repeat_runner,
         make_timed_call,
         marginal_iter_ms,
     )
+
+    enable_compile_cache()
     from psba_tpu.io import load_problem
     from psba_tpu.solvers.lm import lm_run
     from psba_tpu.solvers.types import (

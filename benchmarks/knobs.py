@@ -30,14 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _cache():
-    import jax
+    from benchmarks.measure import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 
 def timed_variant(run, pa, state0, cfg, iters=10, k_max=64):
@@ -54,7 +49,14 @@ def timed_variant(run, pa, state0, cfg, iters=10, k_max=64):
     run_repeat = lm_repeat_runner(run)
     acc, itno = run_repeat(pa, state0, cfg, jnp.int32(iters), jnp.int32(1))
     probe_it = int(itno)
-    n = probe_it if probe_it >= iters else max(probe_it - 1, 1)
+    # exclude the flag-firing iteration (its mu-escalation retry storm is
+    # atypical work); bail rather than publish it when nothing remains —
+    # same policy as run_all.py's ladder rows
+    n = probe_it if probe_it >= iters else probe_it - 1
+    if n < 1:
+        return None, {"note": (
+            f"convergence horizon at iteration {probe_it} leaves no "
+            "timeable fixed-work window")}, float(acc), 0
     acc, itno = run_repeat(pa, state0, cfg, jnp.int32(n), jnp.int32(1))
     final_l2 = float(acc)
     call = make_timed_call(run_repeat, pa, state0, cfg, n)

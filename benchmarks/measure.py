@@ -30,6 +30,22 @@ from __future__ import annotations
 import time
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache shared by every benchmark entry
+    point (bench.py, run_all, knobs, profile_stages, scaling_v2): repeat
+    invocations skip recompiles of unchanged programs — a first compile
+    through the tunneled TPU can run minutes when the remote compile
+    service is loaded."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these knobs
+
+
 def lm_repeat_runner(run=None):
     """Build a jitted `(pa, state0, cfg, iter_cap, repeats) -> scalar`
     that executes `repeats` identical solver runs in one dispatch.

@@ -73,12 +73,9 @@ def main(argv=None):
                     help="registry dataset (default: trafalgar21 files)")
     args = ap.parse_args(argv)
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from benchmarks.measure import enable_compile_cache
+
+    enable_compile_cache()
 
     if args.dataset:
         from psba_tpu import datasets

@@ -44,16 +44,11 @@ N2_MAX = 320
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache: repeat invocations of this script
-    (and bench.py) skip the 20-40s first-compile on unchanged programs."""
-    import jax
+    """Alias kept for importers (scaling_v2); one shared implementation
+    lives in benchmarks.measure."""
+    from benchmarks.measure import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax without these knobs
+    enable_compile_cache()
 
 
 def bench_dataset(name, dtype, iters=10, damping="auto", polish_iters=6):
@@ -82,6 +77,12 @@ def bench_dataset(name, dtype, iters=10, damping="auto", polish_iters=6):
         "dataset": name, "cams": prob.n_cams, "pts": prob.n_pts,
         "obs": prob.n_obs, "complete": datasets.REGISTRY[name].complete,
     }
+    if prob.n_cams * prob.n_pts <= CC.DENSE_SCHUR_MAX_ENTRIES:
+        # the same tile-major clustering hybrid.solve applies on dense
+        # problems — the timing rows must measure the configuration the
+        # default solve() actually runs (and that bench.py/knobs.py
+        # measure), not the raw point order
+        prob, _ = prob.with_tile_point_order()
 
     # resolve damping="auto" once so the row records the actual mode
     # (solve() would resolve identically; doing it here shares the probe
@@ -89,12 +90,11 @@ def bench_dataset(name, dtype, iters=10, damping="auto", polish_iters=6):
     pa = ProblemArrays.from_problem(prob, dtype=dtype)
     cams = jnp.asarray(prob.cams, dtype)
     pts = jnp.asarray(prob.pts, dtype)
-    cfg_kw = {} if damping in ("auto", "additive") else {
-        "damping": damping, "lm_switch_count": 10_000,
-    }
+    cfg_kw = {"damping": damping}
+    if damping == "marquardt":
+        cfg_kw["lm_switch_count"] = 10_000
     cfg0 = resolve_damping(
-        SolverConfig.for_dtype(dtype, damping=damping, **cfg_kw),
-        pa, cams, pts,
+        SolverConfig.for_dtype(dtype, **cfg_kw), pa, cams, pts,
     )
     row["damping"] = (
         damping if damping != "auto" else f"auto->{cfg0.damping}"

@@ -58,8 +58,13 @@ does for the XLA path (core.linalg.spd_solve).
 Padding: S is embedded in an [Np, Np] identity (Np = next multiple of
 128), so padded columns factor as d = 1 and contribute nothing (their
 forward/backward scalars are exactly 0); the panel sweep therefore runs
-over ceil(n/8)*8 columns without a tail case. b pads with zeros. f32
-only (Mosaic); the f64/CPU path stays on XLA.
+over ceil(n/PANEL)*PANEL columns without a tail case. b pads with
+zeros. f32 only (Mosaic); the f64/CPU path stays on XLA.
+
+Naming note: the *9 suffixes (panel9/D9/psub9/acc99/lane9) are
+historical from the PANEL=8 era and mean "PANEL+1 rows" (the appended
+forward-solve rhs row); at PANEL=16 the actual shapes are
+panel9 [17, Np], D9 [17, 16], W/acc99 [17, 17].
 """
 
 from __future__ import annotations
@@ -73,10 +78,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget at the cap, all [Np, Np] f32 buffers counted: S input block
 # + M working copy + Lr rows-of-L^T = 3 * Np^2 * 4 B. Np=1024 -> 12 MB,
-# inside one v5e core's ~16 MB with room for the [8, Np] panel and [1, Np]
-# vectors (the round-4 version additionally materialized an [Np, Np]
-# identity MXU operand; this one does not). Verified to compile and run
-# on TPU v5e at n=1024 (tests/test_linalg.py::test_pallas_cap_shape
+# inside one v5e core's ~16 MB with room for the [PANEL+1, Np] panel and
+# [1, Np] vectors (the round-4 version additionally materialized an
+# [Np, Np] identity MXU operand; this one does not). Verified to compile
+# and run on TPU v5e at n=1024 (tests/test_linalg.py::test_pallas_cap_shape
 # covers the shape; the TPU run is in PROFILE_r05.json's methodology).
 MAX_N = 1024
 PANEL = 16
@@ -100,18 +105,18 @@ def _chol_kernel(S_ref, b_ref, x_ref, ok_ref, M_ref, Lr_ref, *, n, Np):
     def fwd_body(p, carry):
         r, y, dinv, okf = carry
         j0 = p * PANEL
-        # panel9 = the 8 in-flight full-width rows of symmetric M with
-        # the forward-solve rhs r appended as a 9th row
+        # panel9 = the PANEL in-flight full-width rows of symmetric M
+        # with the forward-solve rhs r appended as an extra row
         panel9 = jnp.concatenate(
             [M_ref[pl.ds(j0, PANEL), :], r], axis=0
         )                                              # [PANEL+1, Np]
         # ONE exact MXU product (one-hot columns, Precision.HIGHEST)
-        # extracts the whole 8x8 diagonal block + the rhs values into a
-        # [9, 8] register: D9[m, b] = panel9[m, j0+b]. The within-panel
-        # factorization then runs entirely on static register slices —
-        # ZERO cross-lane reductions per column (the round-4/round-5a
-        # versions spent ~470/~315 ns per column on them; this is the
-        # latency this kernel lives or dies by).
+        # extracts the whole PANELxPANEL diagonal block + the rhs values
+        # into a [PANEL+1, PANEL] register: D9[m, b] = panel9[m, j0+b].
+        # The within-panel factorization then runs entirely on static
+        # register slices — ZERO cross-lane reductions per column (the
+        # round-4/round-5a versions spent ~470/~315 ns per column on
+        # them; this is the latency this kernel lives or dies by).
         tile8 = (lane == (j0 + psub)).astype(f32)      # [PANEL, Np]
         D9 = jax.lax.dot_general(
             panel9, tile8, (((1,), (1,)), ((), ())),
@@ -120,13 +125,14 @@ def _chol_kernel(S_ref, b_ref, x_ref, ok_ref, M_ref, Lr_ref, *, n, Np):
         # The per-column full-width updates are deferred into ONE MXU
         # product: the factorization recurrence
         #   c_k   = inv_k * (panel9_k - sum_{k'<k} lb[k,k'] * c_k')
-        #   r_out = panel9_8 - sum_k y_k * c_k
-        # is linear in the original panel rows, so [c_0..c_7, r_out] =
-        # W @ panel9 for a [9, 9] transform W built entirely from the
-        # register block's factorization (the coefficient column coef9
-        # of column k is simultaneously lb[m, k] for rows m > k and y_k
-        # for row 8 — one accumulator outer product per column threads
-        # it into every future W row).
+        #   r_out = panel9_rhs - sum_k y_k * c_k
+        # is linear in the original panel rows, so [c_0..c_{P-1}, r_out]
+        # = W @ panel9 for a [PANEL+1, PANEL+1] transform W built
+        # entirely from the register block's factorization (the
+        # coefficient column coef9 of column k is simultaneously
+        # lb[m, k] for rows m > k and y_k for the rhs row — one
+        # accumulator outer product per column threads it into every
+        # future W row).
         wrows = []
         acc99 = jnp.zeros((PANEL + 1, PANEL + 1), f32)
         yv = jnp.zeros((PANEL, 1), f32)

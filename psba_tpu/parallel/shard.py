@@ -292,22 +292,39 @@ def make_sharded_runners(sp: ShardedProblem, cfg: SolverConfig, mesh: Mesh,
     return pa_global, cams0, pts0, init_s, lm_s, tr_s
 
 
+# observation cap for the host-side damping probe: the probe estimates
+# an orders-of-magnitude diagonal ratio, so a deterministic stride
+# subsample is plenty — materializing full-problem [O,2,6] Jacobian
+# intermediates on every process would defeat the distributed path's
+# shard-local memory model at exactly the scales it exists for
+_PROBE_MAX_OBS = 262_144
+
+
 def _resolve_damping_host(cfg: SolverConfig, prob: BAProblem, dtype):
-    """Resolve damping="auto" from the FULL problem before sharding.
+    """Resolve damping="auto" BEFORE sharding.
 
     Every process/device evaluates the same deterministic probe on the
     replicated problem metadata, so the resolved config (a static jit
-    argument) is identical everywhere — no collective needed."""
+    argument) is identical everywhere — no collective needed. Beyond
+    _PROBE_MAX_OBS observations a fixed-stride subsample keeps the probe
+    intermediates bounded; points whose observations are all skipped
+    simply contribute no diagonal (the d>0 mask excludes them), which
+    the orders-of-magnitude threshold tolerates."""
     if cfg.damping != "auto":
         return cfg
+    import numpy as _np
+
     from psba_tpu.solvers.types import resolve_damping
 
     dt = dtype or prob.pts.dtype
+    O = prob.obs.shape[0]
+    stride = max(1, -(-O // _PROBE_MAX_OBS))
+    sl = _np.s_[::stride]
     pa_probe = ProblemArrays(
         K=jnp.asarray(prob.K, dt), q0=jnp.asarray(prob.q0, dt),
-        obs=jnp.asarray(prob.obs, dt),
-        cam_idx=jnp.asarray(prob.cam_idx),
-        pt_idx=jnp.asarray(prob.pt_idx),
+        obs=jnp.asarray(prob.obs[sl], dt),
+        cam_idx=jnp.asarray(prob.cam_idx[sl]),
+        pt_idx=jnp.asarray(prob.pt_idx[sl]),
     )
     return resolve_damping(
         cfg, pa_probe, jnp.asarray(prob.cams, dt),

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,8 +81,31 @@ class SolverConfig(NamedTuple):
         return base._replace(**overrides) if overrides else base
 
 
-def resolve_damping(cfg: SolverConfig, pa: "ProblemArrays", cams, pts,
-                    ctx=None) -> SolverConfig:
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def _diag_minmax(K, q0, cams, pts, cam_idx, pt_idx, valid, clamp, n_c, n_p):
+    """max / min-positive of diag(J^T J), jitted ONCE at module level —
+    an inner-function jit would re-trace and re-compile the probe on
+    every resolve_damping call (fresh callable identity), and compiles
+    through the tunneled TPU cost minutes."""
+    import jax as _jax
+
+    from psba_tpu.core.jacobian import jacobians
+
+    A, B = jacobians(K, q0, cams, pts, cam_idx, pt_idx, clamp=clamp)
+    w = 1.0 if valid is None else valid[:, None].astype(A.dtype)
+    dU = _jax.ops.segment_sum((A * A).sum(1) * w, cam_idx, n_c)
+    dV = _jax.ops.segment_sum((B * B).sum(1) * w, pt_idx, n_p)
+    d = jnp.concatenate([dU.reshape(-1), dV.reshape(-1)])
+    mx = jnp.max(d)
+    mn = jnp.min(jnp.where(d > 0, d, jnp.inf))
+    return mx, mn
+
+
+def resolve_damping(cfg: SolverConfig, pa: "ProblemArrays",
+                    cams, pts) -> SolverConfig:
     """Resolve damping="auto" to a concrete mode from the measured
     Hessian-diagonal dynamic range (one Jacobian probe, jitted).
 
@@ -106,36 +130,18 @@ def resolve_damping(cfg: SolverConfig, pa: "ProblemArrays", cams, pts,
     damps additively (trust_region.cpp:126) and would re-enter the same
     failure.
 
-    With a mesh context, pa/pts hold the local point shard: camera
-    diagonals are psummed, and the global min/max ride pmax.
+    Sharded/distributed entry points resolve on the HOST from the full
+    (or deterministically subsampled) problem before partitioning —
+    see psba_tpu.parallel.shard._resolve_damping_host — so this probe
+    never needs mesh collectives.
     """
     if cfg.damping != "auto":
         return cfg
 
-    import jax
-
-    from psba_tpu.core.jacobian import jacobians
-    from psba_tpu.parallel.ctx import NO_MESH
-
-    ctx = ctx or NO_MESH
     dtype = np.dtype(cams.dtype)
     n_c, n_p = pa.K.shape[0], pts.shape[0]
-
-    @jax.jit
-    def _minmax(K, q0, cams, pts, cam_idx, pt_idx, valid):
-        A, B = jacobians(K, q0, cams, pts, cam_idx, pt_idx,
-                         clamp=cfg.clamp_quat)
-        w = 1.0 if valid is None else valid[:, None].astype(A.dtype)
-        dU = jax.ops.segment_sum((A * A).sum(1) * w, cam_idx, n_c)
-        dV = jax.ops.segment_sum((B * B).sum(1) * w, pt_idx, n_p)
-        dU = ctx.psum(dU)  # cameras are replicated across point shards
-        d = jnp.concatenate([dU.reshape(-1), dV.reshape(-1)])
-        mx = ctx.pmax(jnp.max(d))
-        mn = -ctx.pmax(-jnp.min(jnp.where(d > 0, d, jnp.inf)))
-        return mx, mn
-
-    mx, mn = _minmax(pa.K, pa.q0, cams, pts, pa.cam_idx, pa.pt_idx,
-                     pa.valid)
+    mx, mn = _diag_minmax(pa.K, pa.q0, cams, pts, pa.cam_idx, pa.pt_idx,
+                          pa.valid, cfg.clamp_quat, n_c, n_p)
     ratio = float(mx) / max(float(mn), np.finfo(dtype).tiny)
     if cfg.tau * ratio < 1.0 / np.finfo(dtype).eps:
         return cfg._replace(damping="additive")

@@ -140,13 +140,15 @@ def test_smem_specs_have_explicit_index_maps():
     block shape + i32 index map (ops.linearize_dense._smem_spec): a
     memory_space-only spec gets a synthesized default index map whose
     Python-int zeros become an i64 func.return under x64."""
+    import os
     import re
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in (
         "psba_tpu/ops/linearize_dense.py",
         "psba_tpu/ops/residual_dense.py",
     ):
-        src = open(path).read()
+        src = open(os.path.join(repo, path)).read()
         assert not re.search(
             r"pl\.BlockSpec\(memory_space=pltpu\.SMEM\)", src
         ), f"{path}: bare SMEM BlockSpec (use _smem_spec)"
