@@ -18,35 +18,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-N1, N2 = 2, 12
+N_ITERS = 12
 
 
 def marginal_ms(pa, state0, cfg_for):
+    """Repeats-marginal per-iteration time of the CURRENT (possibly
+    monkeypatched) lm_run pipeline — benchmarks.measure method, so the
+    window clears the tunnel jitter floor (the previous fixed
+    12-vs-2-iteration window sat under it)."""
+    from benchmarks.measure import (
+        lm_repeat_runner,
+        make_timed_call,
+        marginal_iter_ms,
+    )
     from psba_tpu.solvers.lm import lm_run
 
     # a fresh wrapper function per variant: jax.jit caches traces on the
     # identity of the wrapped callable, so re-jitting lm_run directly would
     # silently reuse the unpatched trace
-    def _variant(pa, state, cfg):
-        return lm_run(pa, state, cfg)
+    def _variant(pa, state, cfg, iter_cap=None):
+        return lm_run(pa, state, cfg, iter_cap=iter_cap)
 
-    run = jax.jit(_variant, static_argnames=("cfg",))
-
-    def timed(n):
-        cfg = cfg_for(n)
-        out = run(pa, state0, cfg)
-        out.ex_l2.block_until_ready()
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            out = run(pa, state0, cfg)
-            out.ex_l2.block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        return min(ts), float(out.ex_l2)
-
-    t1, _ = timed(N1)
-    t2, l2 = timed(N2)
-    return (t2 - t1) / (N2 - N1) * 1e3, l2
+    run_repeat = lm_repeat_runner(_variant)
+    cfg = cfg_for(320)
+    acc, _ = run_repeat(
+        pa, state0, cfg, jnp.int32(N_ITERS), jnp.int32(1)
+    )
+    l2 = float(acc)
+    call = make_timed_call(run_repeat, pa, state0, cfg, N_ITERS)
+    ms, _diag = marginal_iter_ms(call, N_ITERS, k_max=128)
+    return (float("nan") if ms is None else ms), l2
 
 
 def main():
