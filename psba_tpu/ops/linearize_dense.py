@@ -40,7 +40,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# minor-tile width: 8 sublanes x TL lanes = 8*TL points per grid step
+# minor-tile width: 8 sublanes x TL lanes = 8*TL points per grid step.
+# TL=128 was tried (round 5) to sharpen the per-(camera, tile) skip at
+# BAL density — occupancy does drop (rome93 0.80 -> 0.70) but the
+# doubled grid-step count costs more than the skipped cells save
+# (measured: trafalgar21 0.228 -> 0.240 ms/LM-iter, rome93 11.24 ->
+# 11.60); 256 stands.
 TL = 256
 
 # camera-chunk cap: cameras walked per grid step by the in-kernel loop.
