@@ -292,10 +292,12 @@ def build_tile_mask(valid_d):
     exact — their contribution is identically zero — and pays off when
     the point order clusters covisible points into few tiles
     (BAProblem.with_tile_point_order). Measured (KNOBS_r05.json,
-    trafalgar21 on v5e): clustering alone is time-neutral (0.226 vs
-    0.227 ms/LM-iter), clustering + mask saves ~3% (0.219 ms) — the
-    skip is kept because it is exact and its win grows with sparsity,
-    but on the bundled sets it is a small effect."""
+    trafalgar21 on v5e): the effect is WITHIN the tunnel's ±5%
+    run-to-run spread — one recording showed the mask saving ~3%,
+    a later one showed raw order fastest (0.223 vs 0.239). The skip is
+    kept because it is exact (skipped cells contribute identically
+    zero) and its win grows with sparsity, but on the bundled sets it
+    is not distinguishable from noise."""
     import numpy as np_
 
     vd = np_.asarray(valid_d)
