@@ -241,6 +241,7 @@ def solve_distributed(prob: BAProblem, cfg: SolverConfig | None = None,
     return SolveResult(
         cams=np.asarray(state.cams.addressable_shards[0].data),
         pts=local_pts,
+        resolved_damping=cfg.damping,
         initial_l2=initial_l2, final_l2=final_l2,
         initial_error=float(np.sqrt(initial_l2) / prob.n_obs),
         final_error=float(np.sqrt(final_l2) / prob.n_obs),

@@ -384,6 +384,7 @@ def solve_sharded(prob: BAProblem, cfg: SolverConfig | None = None,
     final_l2 = float(state.ex_l2)
     return SolveResult(
         cams=np.asarray(state.cams), pts=pts_global,
+        resolved_damping=cfg.damping,
         initial_l2=initial_l2, final_l2=final_l2,
         initial_error=float(np.sqrt(initial_l2) / prob.n_obs),
         final_error=float(np.sqrt(final_l2) / prob.n_obs),

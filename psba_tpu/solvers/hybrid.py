@@ -39,6 +39,9 @@ class SolveResult:
     # (itno, err, rho, mu|lambda, delta, |p|) when record_history
     phase_report: str = ""  # per-phase wall-clock report (the reference's
     # clock() accumulator table, main.cpp:220-227)
+    resolved_damping: str = ""  # the concrete LM damping mode this solve
+    # ran ("additive" | "marquardt") after damping="auto" resolution —
+    # observability for the silent auto selection (resolve_damping)
 
     def format_history(self) -> str:
         """Reference-style per-iteration progress lines
@@ -299,6 +302,7 @@ def solve(
     return SolveResult(
         cams=np.asarray(state.cams),
         pts=pts_out,
+        resolved_damping=cfg.damping,
         initial_l2=initial_l2,
         final_l2=final_l2,
         initial_error=float(np.sqrt(initial_l2) / n_obs),
